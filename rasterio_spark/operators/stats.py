@@ -1,0 +1,75 @@
+"""Statistics and data-window operators
+(reference: stats /root/reference/rasterio/_io.pyx:1027-1107,
+get_data_window /root/reference/rasterio/windows.py:141-191).
+
+Float aggregates are rounded to 6 decimals on BOTH engine and oracle
+sides: double summation order is engine-dependent, and 1-ulp noise at
+~1e-12 relative must not flip the value hash.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+
+def band_stats(cells: DataFrame, approx: bool = False, sample_fraction: float = 0.1) -> DataFrame:
+    """Per-band (min, max, mean, std) over valid cells.
+
+    approx=True samples the scan (the reference's approx mode reads
+    overviews, _io.pyx:1038-1040; sampling is the relational analogue).
+    """
+    src = cells.where(F.col("valid"))
+    if approx:
+        src = src.sample(fraction=sample_fraction, seed=42)
+    return (
+        src.groupBy("band")
+        .agg(
+            F.min("value").alias("vmin"),
+            F.max("value").alias("vmax"),
+            F.round(F.avg("value"), 6).alias("vmean"),
+            F.round(F.stddev_pop("value"), 6).alias("vstd"),
+        )
+        .orderBy("band")
+    )
+
+
+def band_stats_sql(cells_cte: str = "cells") -> str:
+    return f"""
+        SELECT band,
+               min(value) AS vmin,
+               max(value) AS vmax,
+               round(avg(value), 6) AS vmean,
+               round(stddev_pop(value), 6) AS vstd
+        FROM {cells_cte} WHERE valid
+        GROUP BY band ORDER BY band
+    """
+
+
+def get_data_window_df(cells: DataFrame) -> DataFrame:
+    """Smallest window covering valid cells: one row
+    (row_off, col_off, height, width) — relational form of
+    windows.get_data_window."""
+    agg = cells.where(F.col("valid")).agg(
+        F.min("row").alias("row_min"),
+        F.max("row").alias("row_max"),
+        F.min("col").alias("col_min"),
+        F.max("col").alias("col_max"),
+        F.count(F.lit(1)).alias("n"),
+    )
+    return agg.select(
+        F.coalesce("row_min", F.lit(0)).cast("long").alias("row_off"),
+        F.coalesce("col_min", F.lit(0)).cast("long").alias("col_off"),
+        F.coalesce(F.col("row_max") - F.col("row_min") + 1, F.lit(0)).cast("long").alias("height"),
+        F.coalesce(F.col("col_max") - F.col("col_min") + 1, F.lit(0)).cast("long").alias("width"),
+    )
+
+
+def get_data_window_sql(cells_cte: str = "cells") -> str:
+    return f"""
+        SELECT CAST(COALESCE(min(row), 0) AS BIGINT) AS row_off,
+               CAST(COALESCE(min(col), 0) AS BIGINT) AS col_off,
+               CAST(COALESCE(max(row) - min(row) + 1, 0) AS BIGINT) AS height,
+               CAST(COALESCE(max(col) - min(col) + 1, 0) AS BIGINT) AS width
+        FROM {cells_cte} WHERE valid
+    """

@@ -1,0 +1,153 @@
+"""Grid-layer descriptors and cell-table builders.
+
+A *layer* is the engine's dataset (SURVEY.md §1.1): a descriptor
+(width/height/count/dtype/crs/transform/nodata/block_shape — mirroring
+rasterio's DatasetBase attributes, /root/reference/rasterio/_base.pyx:239-280)
+plus a DataFrame of cells ``(band int, row int, col int, value double,
+valid boolean)``.
+
+Nodata/mask is tri-state in the reference (value == nodata vs GDAL
+mask); the engine carries an explicit ``valid`` boolean column
+(SURVEY.md §1.2) so both can be represented.
+
+``cells_from_documents`` derives a deterministic dense grid from the
+driver's ``documents`` table, so every raster operator has a DuckDB-
+expressible oracle: the same arithmetic in SQL.
+"""
+
+from __future__ import annotations
+
+from dataclasses import dataclass, field
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from rasterio_spark.grid.affine import Affine
+from rasterio_spark.grid.windows import Window
+
+# Layout constants of the documents-derived layer (shared with oracle SQL).
+DOC_GRID_WIDTH = 32
+DOC_VALUE_MOD = 256
+
+
+@dataclass(frozen=True)
+class LayerDescriptor:
+    """Plan-time metadata of a grid layer (the 'opened dataset')."""
+
+    width: int
+    height: int
+    count: int = 1
+    dtype: str = "float64"
+    crs: str = "EPSG:4326"
+    transform: Affine = field(default_factory=Affine.identity)
+    nodata: float | None = None
+    block_shape: tuple[int, int] = (256, 256)
+
+    def window(self) -> Window:
+        """The full-extent window."""
+        return Window(0, 0, self.width, self.height)
+
+    def to_dict(self) -> dict:
+        d = self.__dict__.copy()
+        d["transform"] = list(self.transform)
+        d["block_shape"] = list(self.block_shape)
+        return d
+
+    @classmethod
+    def from_dict(cls, d: dict) -> "LayerDescriptor":
+        d = dict(d)
+        d["transform"] = Affine(*d["transform"])
+        d["block_shape"] = tuple(d["block_shape"])
+        return cls(**d)
+
+
+def identity_layer(width: int = 10, height: int = 10, **kw) -> LayerDescriptor:
+    """The conftest-style identity substrate
+    (reference tests/conftest.py:393-402)."""
+    return LayerDescriptor(width=width, height=height, crs="EPSG:4326", **kw)
+
+
+def cells_from_documents(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic single-band cell grid derived from ``documents``:
+
+        row   = doc_id / 32,  col = doc_id % 32
+        value = n_chars % 256, valid = value != 0   (nodata = 0)
+
+    Pure built-in expressions (JVM-side, codegen) — the DuckDB oracle is
+    the same arithmetic (see doc_cells_sql()).
+    """
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    return docs.select(
+        F.lit(1).alias("band"),
+        # integer division: DuckDB CAST(float) rounds while Spark truncates,
+        # so both sides must use true int division (DIV / //)
+        F.expr(f"CAST(doc_id DIV {DOC_GRID_WIDTH} AS INT)").alias("row"),
+        (F.col("doc_id") % DOC_GRID_WIDTH).cast("int").alias("col"),
+        (F.col("n_chars") % DOC_VALUE_MOD).cast("double").alias("value"),
+        ((F.col("n_chars") % DOC_VALUE_MOD) != 0).alias("valid"),
+    )
+
+
+def doc_cells_sql() -> str:
+    """DuckDB CTE body equivalent to cells_from_documents (oracle side)."""
+    return f"""
+        SELECT 1 AS band,
+               CAST(doc_id // {DOC_GRID_WIDTH} AS INTEGER) AS row,
+               CAST(doc_id % {DOC_GRID_WIDTH} AS INTEGER) AS col,
+               CAST(n_chars % {DOC_VALUE_MOD} AS DOUBLE) AS value,
+               (n_chars % {DOC_VALUE_MOD}) != 0 AS valid
+        FROM documents
+    """
+
+
+def doc_layer_descriptor(n_docs: int) -> LayerDescriptor:
+    """Descriptor for the documents-derived grid (identity transform)."""
+    height = (n_docs + DOC_GRID_WIDTH - 1) // DOC_GRID_WIDTH
+    return LayerDescriptor(
+        width=DOC_GRID_WIDTH,
+        height=height,
+        count=1,
+        dtype="float64",
+        crs="EPSG:4326",
+        transform=Affine.identity(),
+        nodata=0.0,
+        block_shape=(8, 8),
+    )
+
+
+def source_layers_from_documents(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Multi-source overlapping layers for merge/stack: one layer per
+    ``source`` value; layers overlap on a common 32x32 grid.
+
+        src_idx = int(substr(source, 4))      -- merge input order
+        row     = (doc_id / 32) % 32, col = doc_id % 32
+        value   = n_chars % 256, valid = value != 0
+
+    Several docs may land on the same (source, cell): the layer's cell
+    value is the max over its docs (deterministic pre-reduce), applied
+    by the merge operator itself so partial aggregation stays map-side.
+    """
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    return docs.select(
+        F.substring("source", 4, 10).cast("int").alias("src_idx"),
+        F.lit(1).alias("band"),
+        F.expr(
+            f"CAST((doc_id DIV {DOC_GRID_WIDTH}) % {DOC_GRID_WIDTH} AS INT)"
+        ).alias("row"),
+        (F.col("doc_id") % DOC_GRID_WIDTH).cast("int").alias("col"),
+        (F.col("n_chars") % DOC_VALUE_MOD).cast("double").alias("value"),
+        ((F.col("n_chars") % DOC_VALUE_MOD) != 0).alias("valid"),
+    )
+
+
+def source_layers_sql() -> str:
+    """DuckDB equivalent of source_layers_from_documents."""
+    return f"""
+        SELECT CAST(substr(source, 4, 10) AS INTEGER) AS src_idx,
+               1 AS band,
+               CAST((doc_id // {DOC_GRID_WIDTH}) % {DOC_GRID_WIDTH} AS INTEGER) AS row,
+               CAST(doc_id % {DOC_GRID_WIDTH} AS INTEGER) AS col,
+               CAST(n_chars % {DOC_VALUE_MOD} AS DOUBLE) AS value,
+               (n_chars % {DOC_VALUE_MOD}) != 0 AS valid
+        FROM documents
+    """
