@@ -102,6 +102,102 @@ def _merge_query(method: str):
     return q
 
 
+KNN_QUERIES = [(0, 10.0, 10.0), (1, -170.0, 80.0), (2, 100.5, 40.5), (3, 0.25, -60.0)]
+KNN_K = 5
+
+SAMPLE_POINTS = [(0, 2.5, 3.5), (1, 0.0, 0.0), (2, 9000.0, 9000.0), (3, 31.5, 1.5)]
+
+# rasterize fixture: 5 overlapping squares in grid coords, value k+1
+RASTER_SQUARES = [(k, 2 * k, k, 2 * k + 6, k + 5, float(k + 1)) for k in range(5)]
+RASTER_SHAPE = (24, 24)
+
+
+def q_pip_join_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from rasterio_spark.operators.join import pip_join
+    from rasterio_spark.sources.polygons import rect_polygons
+
+    return pip_join(_pages(spark, sf_dir), rect_polygons()).select(
+        "url", "polygon_id", "poly_value"
+    )
+
+
+def q_pip_join_count(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from rasterio_spark.operators.join import pip_join_count
+    from rasterio_spark.sources.polygons import rect_polygons
+
+    return pip_join_count(_pages(spark, sf_dir), rect_polygons())
+
+
+def q_pip_join_sort_merge(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from rasterio_spark.operators.join import pip_join
+    from rasterio_spark.sources.polygons import rect_polygons
+
+    return pip_join(
+        _pages(spark, sf_dir), rect_polygons(), strategy="sort_merge", salt_buckets=8
+    ).select("url", "polygon_id", "poly_value")
+
+
+def q_pip_join_rtree(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from rasterio_spark.operators.join import pip_join
+    from rasterio_spark.sources.polygons import rect_polygons
+
+    return pip_join(_pages(spark, sf_dir), rect_polygons(), strategy="rtree").select(
+        "url", "polygon_id", "poly_value"
+    )
+
+
+def q_knn(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from rasterio_spark.operators.join import knn_join
+
+    return knn_join(_pages(spark, sf_dir), KNN_QUERIES, k=KNN_K)
+
+
+def q_sample_points(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from rasterio_spark.grid.affine import Affine
+    from rasterio_spark.operators.join import sample_points
+
+    return sample_points(
+        _cells(spark, sf_dir), SAMPLE_POINTS, Affine.identity(), nodata=-1.0
+    )
+
+
+def q_asof_latest(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from rasterio_spark.operators.join import asof_latest
+
+    return asof_latest(_pages(spark, sf_dir))
+
+
+def _square_geoms():
+    return [
+        (
+            {
+                "type": "Polygon",
+                "coordinates": [[(x0, y0), (x0, y1), (x1, y1), (x1, y0), (x0, y0)]],
+            },
+            v,
+        )
+        for _, x0, y0, x1, y1, v in RASTER_SQUARES
+    ]
+
+
+def q_rasterize_replace(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from rasterio_spark.operators.rasterize import rasterize
+
+    return rasterize(spark, _square_geoms(), RASTER_SHAPE)
+
+
+def q_rasterize_add(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from rasterio_spark.operators.rasterize import rasterize
+
+    return rasterize(spark, _square_geoms(), RASTER_SHAPE, merge_alg="add")
+
+
+def q_geometry_mask(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from rasterio_spark.operators.rasterize import geometry_mask
+
+    return geometry_mask(spark, [g for g, _ in _square_geoms()], RASTER_SHAPE)
+
+
 def q_band_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     from rasterio_spark.operators.stats import band_stats
 
@@ -129,6 +225,16 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "boundless_read": q_boundless_read,
         "band_stats": q_band_stats,
         "data_window": q_data_window,
+        "pip_join_pairs": q_pip_join_pairs,
+        "pip_join_count": q_pip_join_count,
+        "pip_join_sort_merge": q_pip_join_sort_merge,
+        "pip_join_rtree": q_pip_join_rtree,
+        "knn": q_knn,
+        "sample_points": q_sample_points,
+        "asof_latest": q_asof_latest,
+        "rasterize_replace": q_rasterize_replace,
+        "rasterize_add": q_rasterize_add,
+        "geometry_mask": q_geometry_mask,
     }
     for m in ("first", "last", "min", "max", "sum", "count"):
         qs[f"merge_{m}"] = _merge_query(m)
@@ -181,4 +287,84 @@ def oracle_sql() -> dict[str, str]:
         sqls[f"merge_{m}"] = merge_sql(m, source_layers_sql())
     sqls["band_stats"] = f"{_cells_cte()} {band_stats_sql()}"
     sqls["data_window"] = f"{_cells_cte()} {get_data_window_sql()}"
+
+    # --- spatial joins -----------------------------------------------------
+    from rasterio_spark.operators.join import knn_sql
+    from rasterio_spark.sources.polygons import rects_values_sql
+
+    pip_pairs = f"""
+        {_pages_cte()}, geo AS (
+          SELECT url, {lon_sql} AS lon, {lat_sql} AS lat FROM pages
+        )
+        SELECT g.url, CAST(r.polygon_id AS BIGINT) AS polygon_id,
+               CAST(r.polygon_id + 1 AS DOUBLE) AS poly_value
+        FROM geo g JOIN {rects_values_sql()}
+          ON g.lon >= r.x0 AND g.lon < r.x1 AND g.lat >= r.y0 AND g.lat < r.y1
+    """.replace("AS rects(", "AS r(")
+    sqls["pip_join_pairs"] = pip_pairs
+    sqls["pip_join_sort_merge"] = pip_pairs
+    sqls["pip_join_rtree"] = pip_pairs
+    sqls["pip_join_count"] = f"""
+        {_pages_cte()}, geo AS (
+          SELECT url, {lon_sql} AS lon, {lat_sql} AS lat FROM pages
+        )
+        SELECT CAST(r.polygon_id AS BIGINT) AS polygon_id, COUNT(*) AS n_pages
+        FROM geo g JOIN {rects_values_sql()}
+          ON g.lon >= r.x0 AND g.lon < r.x1 AND g.lat >= r.y0 AND g.lat < r.y1
+        GROUP BY 1
+    """.replace("AS rects(", "AS r(")
+    sqls["knn"] = f"{_pages_cte()} {knn_sql(KNN_QUERIES, KNN_K)}".replace(
+        "WITH geo AS", ", geo AS", 1
+    )
+    sqls["sample_points"] = f"""
+        {_cells_cte()}, pts(pt_id, x, y) AS (
+          VALUES {", ".join(f"({i}, {x!r}, {y!r})" for i, x, y in SAMPLE_POINTS)}
+        )
+        SELECT CAST(p.pt_id AS BIGINT) AS pt_id,
+               COALESCE(c.band, 1) AS band,
+               COALESCE(CASE WHEN c.valid THEN c.value END, -1.0) AS value
+        FROM pts p LEFT JOIN cells c
+          ON c.row = CAST(FLOOR(p.y) AS INTEGER) AND c.col = CAST(FLOOR(p.x) AS INTEGER)
+    """
+    sqls["asof_latest"] = f"""
+        {_pages_cte()}, tiled AS (
+          SELECT {cell} AS cell_id, url, warc_ts, lang,
+                 row_number() OVER (
+                   PARTITION BY {cell} ORDER BY warc_ts DESC, url DESC
+                 ) AS rn
+          FROM pages
+        )
+        SELECT cell_id, url, warc_ts, lang FROM tiled WHERE rn = 1
+    """
+
+    # --- rasterize (grid-coordinate squares, center rule) -------------------
+    sq_vals = ", ".join(
+        f"({k}, {x0}, {y0}, {x1}, {y1}, {v!r})" for k, x0, y0, x1, y1, v in RASTER_SQUARES
+    )
+    covered = f"""
+        SELECT s.k, d.row, d.col, s.v
+        FROM (SELECT r.range AS row, c2.range AS col
+              FROM range(0, {RASTER_SHAPE[0]}) r, range(0, {RASTER_SHAPE[1]}) c2) d
+        JOIN (VALUES {sq_vals}) AS s(k, x0, y0, x1, y1, v)
+          ON d.col >= s.x0 AND d.col <= s.x1 - 1
+         AND d.row >= s.y0 AND d.row <= s.y1 - 1
+    """
+    sqls["rasterize_replace"] = f"""
+        SELECT CAST(row AS INTEGER) AS row, CAST(col AS INTEGER) AS col,
+               arg_max(v, k) AS value
+        FROM ({covered}) GROUP BY row, col
+    """
+    sqls["rasterize_add"] = f"""
+        SELECT CAST(row AS INTEGER) AS row, CAST(col AS INTEGER) AS col,
+               sum(v) AS value
+        FROM ({covered}) GROUP BY row, col
+    """
+    sqls["geometry_mask"] = f"""
+        SELECT CAST(d.row AS INTEGER) AS row, CAST(d.col AS INTEGER) AS col,
+               c.row IS NULL AS mask
+        FROM (SELECT r.range AS row, c2.range AS col
+              FROM range(0, {RASTER_SHAPE[0]}) r, range(0, {RASTER_SHAPE[1]}) c2) d
+        LEFT JOIN (SELECT DISTINCT row, col FROM ({covered})) c
+          ON c.row = d.row AND c.col = d.col
+    """
     return sqls

@@ -177,6 +177,75 @@ def points_in_rings(px: np.ndarray, py: np.ndarray, rings: list[np.ndarray]) -> 
     return inside
 
 
+def _segments_intersect_rects(p0: np.ndarray, p1: np.ndarray, rects: np.ndarray) -> np.ndarray:
+    """For each rect (n, 4 = x0,y0,x1,y1), does ANY segment (m, 2)->(m, 2)
+    intersect it? Liang-Barsky clip test, vectorized (rects x segments)."""
+    x0 = rects[:, 0][:, None]
+    y0 = rects[:, 1][:, None]
+    x1 = rects[:, 2][:, None]
+    y1 = rects[:, 3][:, None]
+    ax = p0[None, :, 0]
+    ay = p0[None, :, 1]
+    dx = (p1 - p0)[None, :, 0]
+    dy = (p1 - p0)[None, :, 1]
+
+    t0 = np.zeros_like(ax + x0)
+    t1 = np.ones_like(t0)
+    ok = np.ones(t0.shape, dtype=bool)
+    for dcoord, lo, hi, a in ((dx, x0, x1, ax), (dy, y0, y1, ay)):
+        with np.errstate(divide="ignore", invalid="ignore"):
+            tlo = (lo - a) / dcoord
+            thi = (hi - a) / dcoord
+        tmin = np.minimum(tlo, thi)
+        tmax = np.maximum(tlo, thi)
+        parallel = dcoord == 0
+        inside_band = (a >= lo) & (a <= hi)
+        t0 = np.where(parallel, t0, np.maximum(t0, tmin))
+        t1 = np.where(parallel, t1, np.minimum(t1, tmax))
+        ok &= ~parallel | inside_band
+    ok &= t0 <= t1
+    return ok.any(axis=1)
+
+
+def cells_touched_by_polygon(
+    rows: np.ndarray, cols: np.ndarray, rings: list[np.ndarray]
+) -> np.ndarray:
+    """all_touched test in grid coordinates: a cell [col, col+1) x
+    [row, row+1) is touched iff its center is inside OR any ring edge
+    intersects the cell rectangle (mirrors GDAL's ALL_TOUCHED behavior
+    used by rasterize, reference rasterio/_features.pyx:367-370)."""
+    rows = np.asarray(rows, dtype="float64")
+    cols = np.asarray(cols, dtype="float64")
+    inside = points_in_rings(cols + 0.5, rows + 0.5, rings)
+    rects = np.stack([cols, rows, cols + 1.0, rows + 1.0], axis=1)
+    p0 = np.concatenate([r[:-1] for r in rings])
+    p1 = np.concatenate([r[1:] for r in rings])
+    touched = _segments_intersect_rects(p0, p1, rects)
+    return inside | touched
+
+
+def line_cells(coords: np.ndarray) -> np.ndarray:
+    """Cells crossed by a polyline (grid coordinates) via integer
+    Bresenham per segment — the line-burning rule of rasterize
+    (reference features.py:200-236: pixels on a Bresenham line).
+    Returns unique (row, col) int64 pairs."""
+    coords = np.asarray(coords, dtype="float64")[:, :2]
+    out = []
+    for (x0, y0), (x1, y1) in zip(coords[:-1], coords[1:]):
+        c0, r0 = int(np.floor(x0)), int(np.floor(y0))
+        c1, r1 = int(np.floor(x1)), int(np.floor(y1))
+        dc, dr = abs(c1 - c0), abs(r1 - r0)
+        n = max(dc, dr)
+        if n == 0:
+            out.append(np.array([[r0, c0]], dtype=np.int64))
+            continue
+        t = np.arange(n + 1, dtype="float64") / n
+        rr = np.round(r0 + t * (r1 - r0)).astype(np.int64)
+        cc = np.round(c0 + t * (c1 - c0)).astype(np.int64)
+        out.append(np.stack([rr, cc], axis=1))
+    return np.unique(np.concatenate(out), axis=0)
+
+
 # ---- STR-packed R-tree (driver-built, broadcast to executors) -------------
 
 class STRtree:

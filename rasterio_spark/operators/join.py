@@ -1,0 +1,310 @@
+"""Spatial joins — the north-rule core (BASELINE.json north_star).
+
+- ``pip_join``: pages x polygons point-in-polygon join via
+  filter-and-refine: polygon cover cells (driver-side, R-tree-pruned,
+  broadcast) -> equi-join on cell_id -> ray-casting refine in an
+  Arrow UDF. The spatial theta-join becomes an equi-join Catalyst can
+  broadcast or sort-merge (SURVEY.md §2.3).
+- ``knn_join``: k nearest pages per query point by cell-ring expansion:
+  rings grow until every query holds >= k candidates AND the expansion
+  radius covers the k-th distance bound, then window row_number <= k.
+- ``sample_points``: rasterio.sample as a point->cell equi-join
+  (reference rasterio/sample.py:44-99): out-of-bounds -> nodata.
+- ``asof_latest``: latest page per (cell) by warc_ts — the as-of
+  resolution used on (cell_id, warc_ts) sorted runs.
+
+Scale notes: the polygon side is broadcast (small); the pages side
+never collects. ``strategy='sort_merge'`` repartitions by range on
+cell_id and sorts (cell_id, warc_ts) within partitions — the
+north_star's sort-merge layout — useful when the cover is too big to
+broadcast; output is identical.
+"""
+
+from __future__ import annotations
+
+import numpy as np
+import pandas as pd
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+from pyspark.sql import Window as W
+
+from rasterio_spark.grid import cells as C
+from rasterio_spark.grid.geometry import STRtree
+from rasterio_spark.operators.tile import DEFAULT_RES, tile_pages
+from rasterio_spark.sources.polygons import prepare_layer
+
+
+def _polygon_cover(entries, res: int) -> pd.DataFrame:
+    """(cell_id, polygon_id, value) for every cell whose extent overlaps
+    a polygon's bbox — the join's build side. Driver-side NumPy; size is
+    O(total bbox area in cells), independent of page count."""
+    ny, nx = C.grid_shape(res)
+    out_cells = []
+    out_pid = []
+    out_val = []
+    for pid, value, (left, bottom, right, top) in entries:
+        r_lo, c_lo = C.rowcol_of(left, top, res)
+        r_hi, c_hi = C.rowcol_of(right, bottom, res)
+        rr = np.arange(min(r_lo, r_hi), max(r_lo, r_hi) + 1, dtype=np.int64)
+        cc = np.arange(min(c_lo, c_hi), max(c_lo, c_hi) + 1, dtype=np.int64)
+        grid_r, grid_c = np.meshgrid(rr, cc, indexing="ij")
+        ids = C.cell_id_from_rowcol(grid_r.ravel(), grid_c.ravel(), res)
+        out_cells.append(ids)
+        out_pid.append(np.full(ids.shape, pid, dtype=np.int64))
+        out_val.append(np.full(ids.shape, value, dtype="float64"))
+    return pd.DataFrame(
+        {
+            "cell_id": np.concatenate(out_cells),
+            "polygon_id": np.concatenate(out_pid),
+            "poly_value": np.concatenate(out_val),
+        }
+    )
+
+
+def pip_join(
+    pages: DataFrame,
+    polygons: list[dict],
+    res: int = DEFAULT_RES,
+    skew: bool = False,
+    strategy: str = "broadcast",
+    salt_buckets: int = 0,
+) -> DataFrame:
+    """Join pages to the polygons containing them.
+
+    Returns pages columns + (polygon_id, poly_value). A page inside k
+    polygons appears k times; pages in none are dropped (inner).
+    """
+    spark = pages.sparkSession
+    entries, rings_by_id = prepare_layer(polygons)
+    bcast = spark.sparkContext.broadcast(rings_by_id)
+    tiled = tile_pages(pages, res=res, skew=skew)
+
+    if strategy == "rtree":
+        # broadcast STR R-tree over polygon bboxes; one mapInPandas pass
+        # does candidate lookup + ray-cast refine — no cover join at all.
+        boxes = np.array([e[2] for e in entries], dtype="float64")
+        ids = np.array([e[0] for e in entries], dtype=np.int64)
+        values = {e[0]: e[1] for e in entries}
+        tree_bc = spark.sparkContext.broadcast((STRtree(boxes, ids), values))
+
+        from pyspark.sql.types import DoubleType, LongType, StructField, StructType
+
+        out_schema = StructType(
+            list(tiled.schema.fields)
+            + [StructField("polygon_id", LongType()), StructField("poly_value", DoubleType())]
+        )
+
+        def probe(batches):
+            from rasterio_spark.grid.geometry import points_in_rings as pir
+
+            tree, vals = tree_bc.value
+            rings_by = bcast.value
+            for pdf in batches:
+                if not len(pdf):
+                    continue
+                pts = np.stack(
+                    [pdf["lon"].values, pdf["lat"].values, pdf["lon"].values, pdf["lat"].values],
+                    axis=1,
+                )
+                qi, pid = tree.query(pts)
+                if not len(qi):
+                    continue
+                keep = np.zeros(len(qi), dtype=bool)
+                for p in np.unique(pid):
+                    m = pid == p
+                    keep[m] = pir(
+                        pdf["lon"].values[qi[m]], pdf["lat"].values[qi[m]], rings_by[int(p)]
+                    )
+                qi, pid = qi[keep], pid[keep]
+                out = pdf.iloc[qi].reset_index(drop=True)
+                out["polygon_id"] = pid.astype("int64")
+                out["poly_value"] = pd.Series(pid).map(vals).astype("float64")
+                yield out
+
+        return tiled.mapInPandas(probe, schema=out_schema)
+
+    cover_pdf = _polygon_cover(entries, res)
+    cover = spark.createDataFrame(cover_pdf)
+
+    if strategy == "broadcast":
+        cand = tiled.join(F.broadcast(cover), "cell_id")
+    elif strategy == "sort_merge":
+        # north_star layout: range partition + in-partition sort on
+        # (cell_id, warc_ts); merge-join hint avoids broadcast.
+        lhs = (
+            tiled.repartitionByRange(F.col("cell_id"))
+            .sortWithinPartitions("cell_id", "warc_ts")
+        )
+        cand = lhs.join(cover.hint("merge"), "cell_id")
+    else:
+        raise ValueError(f"unknown strategy {strategy!r}")
+
+    if salt_buckets:
+        # spread hot cells before the (wide) refine stage; no-op on output
+        cand = cand.repartition(
+            spark.sparkContext.defaultParallelism,
+            F.col("cell_id"),
+            F.pmod(F.hash("url"), F.lit(salt_buckets)),
+        )
+
+    from rasterio_spark.functions.udfs import make_pip_udf
+
+    pip = make_pip_udf(bcast)
+    return cand.where(pip(F.col("polygon_id"), F.col("lon"), F.col("lat")))
+
+
+def pip_join_count(pages: DataFrame, polygons: list[dict], res: int = DEFAULT_RES, **kw) -> DataFrame:
+    """Pages per polygon — the aggregate headline of the join."""
+    j = pip_join(pages, polygons, res=res, **kw)
+    return j.groupBy("polygon_id").agg(F.count(F.lit(1)).alias("n_pages"))
+
+
+def knn_join(
+    pages: DataFrame,
+    queries: list[tuple[int, float, float]],
+    k: int,
+    res: int = DEFAULT_RES,
+    max_rings: int = 64,
+) -> DataFrame:
+    """k nearest pages per query point (planar lon/lat distance).
+
+    Ring expansion (north_star): candidate cells grow ring by ring;
+    a radius R is sufficient once every query has >= k candidates
+    inside ring R AND (k-th candidate distance) <= R * min_cell_side —
+    the cheapest correct stopping rule for a grid index. The driver
+    loop only moves cell ids (tiny); pages are touched via equi-joins.
+
+    Returns (query_id, url, lon, lat, dist2, rank) with rank <= k,
+    ties broken by url.
+    """
+    spark = pages.sparkSession
+    ny, nx = C.grid_shape(res)
+    cell_w = C.LON_SPAN / nx
+    cell_h = C.LAT_SPAN / ny
+    min_side = min(cell_w, cell_h)
+
+    tiled = tile_pages(pages, res=res).select("url", "lon", "lat", "cell_id").cache()
+
+    qrows = {qid: C.rowcol_of(qlon, qlat, res) for qid, qlon, qlat in queries}
+    need = {qid for qid, _, _ in queries}
+    radius = 0
+    sufficient_radius: dict[int, int] = {}
+    counts: dict[int, int] = {qid: 0 for qid in need}
+    cand_cells: dict[int, list[np.ndarray]] = {qid: [] for qid in need}
+
+    while need and radius < max_rings:
+        ring_rows = []
+        for qid in need:
+            r, c = qrows[qid]
+            ring = C.ring(int(r), int(c), radius, res)
+            if ring.size:
+                ids = C.cell_id_from_rowcol(ring[:, 0], ring[:, 1], res)
+                cand_cells[qid].append(ids)
+                ring_rows.extend((qid, int(i)) for i in ids)
+        if ring_rows:
+            ring_df = spark.createDataFrame(ring_rows, "query_id long, cell_id long")
+            got = (
+                tiled.join(F.broadcast(ring_df), "cell_id")
+                .groupBy("query_id")
+                .agg(F.count(F.lit(1)).alias("n"))
+                .collect()
+            )
+            for row in got:
+                counts[row["query_id"]] += row["n"]
+        done = {qid for qid in need if counts[qid] >= k}
+        for qid in done:
+            sufficient_radius[qid] = radius
+        need -= done
+        radius += 1
+
+    # guarantee: expand each query's disk so it covers its k-th distance
+    # upper bound ((R+1) rings cover distance R*min_side at least)
+    final_rows = []
+    for qid, qlon, qlat in queries:
+        r, c = qrows[qid]
+        base_r = sufficient_radius.get(qid, radius - 1)
+        # distance to any point in ring base_r is at most (base_r+1) * max diag
+        max_d = (base_r + 1) * float(np.hypot(cell_w, cell_h))
+        safe_r = int(np.ceil(max_d / min_side)) + 1
+        disk = C.disk(int(r), int(c), min(safe_r, max_rings), res)
+        ids = C.cell_id_from_rowcol(disk[:, 0], disk[:, 1], res)
+        final_rows.extend((int(qid), int(i)) for i in np.unique(ids))
+    cells_df = spark.createDataFrame(final_rows, "query_id long, cell_id long")
+    qdf = spark.createDataFrame(list(queries), "query_id long, qlon double, qlat double")
+
+    cand = tiled.join(F.broadcast(cells_df), "cell_id").join(F.broadcast(qdf), "query_id")
+    dist2 = (F.col("lon") - F.col("qlon")) * (F.col("lon") - F.col("qlon")) + (
+        F.col("lat") - F.col("qlat")
+    ) * (F.col("lat") - F.col("qlat"))
+    w = W.partitionBy("query_id").orderBy(F.col("dist2").asc(), F.col("url").asc())
+    return (
+        cand.withColumn("dist2", dist2)
+        .withColumn("rank", F.row_number().over(w))
+        .where(F.col("rank") <= k)
+        .select("query_id", "url", "lon", "lat", "dist2", "rank")
+    )
+
+
+def knn_sql(queries: list[tuple[int, float, float]], k: int) -> str:
+    """Brute-force DuckDB oracle over the pages CTE: exact same dist2
+    arithmetic and (dist2, url) ordering."""
+    from rasterio_spark.sources.pages import geocode_sql
+
+    lon_sql, lat_sql = geocode_sql()
+    qvals = ", ".join(f"({qid}, {qlon!r}, {qlat!r})" for qid, qlon, qlat in queries)
+    return f"""
+        WITH geo AS (
+          SELECT url, {lon_sql} AS lon, {lat_sql} AS lat FROM pages
+        ), q(query_id, qlon, qlat) AS (VALUES {qvals}),
+        scored AS (
+          SELECT q.query_id, g.url, g.lon, g.lat,
+                 (g.lon - q.qlon) * (g.lon - q.qlon)
+                   + (g.lat - q.qlat) * (g.lat - q.qlat) AS dist2,
+                 row_number() OVER (
+                   PARTITION BY q.query_id
+                   ORDER BY (g.lon - q.qlon) * (g.lon - q.qlon)
+                              + (g.lat - q.qlat) * (g.lat - q.qlat) ASC,
+                            g.url ASC
+                 ) AS rank
+          FROM geo g CROSS JOIN q
+        )
+        SELECT query_id, url, lon, lat, dist2, CAST(rank AS INT) AS rank
+        FROM scored WHERE rank <= {k}
+    """
+
+
+def sample_points(
+    cells: DataFrame,
+    points: list[tuple[int, float, float]],
+    transform,
+    nodata: float = 0.0,
+    bands: list[int] | None = None,
+) -> DataFrame:
+    """Point probe: nearest-cell values per (x, y); misses -> nodata
+    (reference sample.py:44-99: out-of-bounds yields the nodata vector).
+    Broadcast equi-join on (row, col)."""
+    from rasterio_spark.functions.cell_exprs import affine_rowcol_cols
+
+    spark = cells.sparkSession
+    pts = spark.createDataFrame(list(points), "pt_id long, x double, y double")
+    row, col = affine_rowcol_cols(F.col("x"), F.col("y"), transform)
+    pts = pts.withColumn("row", row).withColumn("col", col)
+    data = cells if bands is None else cells.where(F.col("band").isin(bands))
+    joined = F.broadcast(pts).join(data, ["row", "col"], "left")
+    return joined.select(
+        "pt_id",
+        F.coalesce("band", F.lit(1)).alias("band"),
+        F.coalesce(F.when(F.col("valid"), F.col("value")), F.lit(nodata)).alias("value"),
+    )
+
+
+def asof_latest(pages: DataFrame, res: int = DEFAULT_RES) -> DataFrame:
+    """Latest page per cell by (warc_ts, url) — deterministic as-of top-1
+    over runs sorted by (cell_id, warc_ts)."""
+    tiled = tile_pages(pages, res=res)
+    w = W.partitionBy("cell_id").orderBy(F.col("warc_ts").desc(), F.col("url").desc())
+    return (
+        tiled.withColumn("_rn", F.row_number().over(w))
+        .where(F.col("_rn") == 1)
+        .select("cell_id", "url", "warc_ts", "lang")
+    )
