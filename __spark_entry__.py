@@ -210,6 +210,152 @@ def q_data_window(spark: SparkSession, sf_dir: str) -> DataFrame:
     return get_data_window_df(_cells(spark, sf_dir))
 
 
+ANN_QUERY_IDS = [0, 7, 42, 99]
+ANN_K = 10
+
+
+def q_downsample(method: str):
+    def q(spark: SparkSession, sf_dir: str) -> DataFrame:
+        from rasterio_spark.operators.warp import downsample
+
+        return downsample(_cells(spark, sf_dir), factor=4, method=method)
+
+    return q
+
+
+def q_reproject_nearest(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from rasterio_spark.grid.affine import Affine
+    from rasterio_spark.operators.warp import reproject
+
+    return reproject(
+        _cells(spark, sf_dir),
+        src_transform=Affine.identity(),
+        src_crs="EPSG:4326",
+        dst_transform=Affine(2.0, 0.0, 0.0, 0.0, 2.0, 0.0),
+        dst_crs="EPSG:4326",
+        dst_width=16,
+        dst_height=8,
+        resampling="nearest",
+        src_nodata=0.0,
+    )
+
+
+def q_reproject_average(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from rasterio_spark.grid.affine import Affine
+    from rasterio_spark.operators.warp import reproject
+
+    return reproject(
+        _cells(spark, sf_dir),
+        src_transform=Affine.identity(),
+        src_crs="EPSG:4326",
+        dst_transform=Affine(2.0, 0.0, 0.0, 0.0, 2.0, 0.0),
+        dst_crs="EPSG:4326",
+        dst_width=16,
+        dst_height=8,
+        resampling="average",
+        src_nodata=0.0,
+    )
+
+
+def q_transform_points_3857(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """warp.transform to Web Mercator — rows-only check (ln/tan are not
+    bit-identical across JVM/libm; exactness is covered in pytest with
+    tolerances)."""
+    from rasterio_spark.grid.crs import forward_3857_cols
+    from rasterio_spark.sources.pages import with_geocode
+
+    geo = with_geocode(_pages(spark, sf_dir))
+    x, y = forward_3857_cols(F.col("lon"), F.col("lat"))
+    return geo.select("url", x.alias("merc_x"), y.alias("merc_y"))
+
+
+def q_text_features(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from rasterio_spark.functions.text import with_text_features
+
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    return with_text_features(docs).select(
+        "doc_id", "n_tokens", "avg_token_len", "stopword_ratio",
+        "alpha_ratio", "quality_score", "fingerprint",
+    )
+
+
+def q_lang_id(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from rasterio_spark.functions.text import with_lang_id
+
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    return with_lang_id(docs).select("doc_id", "pred_lang")
+
+
+def q_dedup_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from rasterio_spark.operators.dedup import dedup_exact
+
+    return dedup_exact(spark.read.parquet(f"{sf_dir}/documents.parquet"))
+
+
+def q_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from rasterio_spark.operators.dedup import ngram_jaccard_pairs
+
+    return ngram_jaccard_pairs(
+        spark.read.parquet(f"{sf_dir}/documents.parquet"), n=3, threshold=0.2
+    )
+
+
+def q_minhash_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from rasterio_spark.operators.dedup import minhash_lsh_pairs
+
+    return minhash_lsh_pairs(spark.read.parquet(f"{sf_dir}/documents.parquet"))
+
+
+def q_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from rasterio_spark.operators.dedup import simhash
+
+    return simhash(spark.read.parquet(f"{sf_dir}/documents.parquet"))
+
+
+def q_cosine_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from rasterio_spark.operators.similarity import cosine_topk
+
+    return cosine_topk(
+        spark.read.parquet(f"{sf_dir}/embeddings.parquet"), ANN_QUERY_IDS, k=ANN_K
+    )
+
+
+def q_ivf_topk_fullprobe(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """IVF path with nprobe = all clusters: must equal brute force —
+    that identity IS the oracle."""
+    from rasterio_spark.operators.similarity import ivf_topk
+
+    return ivf_topk(
+        spark.read.parquet(f"{sf_dir}/embeddings.parquet"),
+        ANN_QUERY_IDS,
+        k=ANN_K,
+        nprobe=10,
+    )
+
+
+def q_embedding_neardup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from rasterio_spark.operators.similarity import neardup_pairs
+
+    return neardup_pairs(
+        spark.read.parquet(f"{sf_dir}/embeddings.parquet"), tau=0.3
+    )
+
+
+def q_html_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from rasterio_spark.operators.multimodal import html_stats
+
+    return html_stats(_pages(spark, sf_dir))
+
+
+def q_image_features_stub(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Multimodal plumbing over binary blobs (stubbed decoder) —
+    rows-only check; the mapInPandas schema/batching is what's tested."""
+    from rasterio_spark.operators.multimodal import extract_image_features
+
+    pages = _pages(spark, sf_dir).limit(500)
+    return extract_image_features(pages, binary_col="html", id_col="url")
+
+
 def entry(spark: SparkSession) -> DataFrame:
     """Flagship: tiling + per-cell language histogram at sf0.001."""
     return q_cell_histogram(spark, "/root/testdata/sf0.001")
@@ -235,6 +381,24 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "rasterize_replace": q_rasterize_replace,
         "rasterize_add": q_rasterize_add,
         "geometry_mask": q_geometry_mask,
+        "downsample_average": q_downsample("average"),
+        "downsample_mode": q_downsample("mode"),
+        "downsample_med": q_downsample("med"),
+        "downsample_rms": q_downsample("rms"),
+        "reproject_nearest": q_reproject_nearest,
+        "reproject_average": q_reproject_average,
+        "transform_points_3857": q_transform_points_3857,
+        "text_features": q_text_features,
+        "lang_id": q_lang_id,
+        "dedup_exact": q_dedup_exact,
+        "ngram_jaccard": q_ngram_jaccard,
+        "minhash_lsh": q_minhash_lsh,
+        "simhash": q_simhash,
+        "cosine_topk": q_cosine_topk,
+        "ivf_topk_fullprobe": q_ivf_topk_fullprobe,
+        "embedding_neardup": q_embedding_neardup,
+        "html_stats": q_html_stats,
+        "image_features_stub": q_image_features_stub,
     }
     for m in ("first", "last", "min", "max", "sum", "count"):
         qs[f"merge_{m}"] = _merge_query(m)
@@ -367,4 +531,76 @@ def oracle_sql() -> dict[str, str]:
         LEFT JOIN (SELECT DISTINCT row, col FROM ({covered})) c
           ON c.row = d.row AND c.col = d.col
     """
+
+    # --- warp / resampling ---------------------------------------------------
+    from rasterio_spark.operators.warp import downsample_sql
+
+    for m in ("average", "mode", "med", "rms"):
+        sqls[f"downsample_{m}"] = f"{_cells_cte()} {downsample_sql(4, m)}"
+    sqls["reproject_nearest"] = f"""
+        {_cells_cte()}
+        SELECT COALESCE(c.band, 1) AS band,
+               CAST(d.row AS INTEGER) AS row, CAST(d.col AS INTEGER) AS col,
+               COALESCE(CASE WHEN c.valid THEN c.value END, 0.0) AS value,
+               COALESCE(c.valid, FALSE) AS valid
+        FROM (SELECT r.range AS row, c2.range AS col
+              FROM range(0, 8) r, range(0, 16) c2) d
+        LEFT JOIN cells c
+          ON c.row = CAST(FLOOR(2.0 * (d.row + 0.5)) AS INTEGER)
+         AND c.col = CAST(FLOOR(2.0 * (d.col + 0.5)) AS INTEGER)
+    """
+    sqls["reproject_average"] = f"""
+        {_cells_cte()}, landed AS (
+          SELECT band,
+                 CAST(FLOOR((row + 0.5) / 2.0) AS INTEGER) AS row,
+                 CAST(FLOOR((col + 0.5) / 2.0) AS INTEGER) AS col,
+                 value
+          FROM cells WHERE valid
+        ), agg AS (
+          SELECT band, row, col, round(avg(value), 6) AS value
+          FROM landed
+          WHERE row >= 0 AND row < 8 AND col >= 0 AND col < 16
+          GROUP BY 1, 2, 3
+        )
+        SELECT 1 AS band,
+               CAST(d.row AS INTEGER) AS row, CAST(d.col AS INTEGER) AS col,
+               COALESCE(a.value, 0.0) AS value,
+               a.value IS NOT NULL AS valid
+        FROM (SELECT r.range AS row, c2.range AS col
+              FROM range(0, 8) r, range(0, 16) c2) d
+        LEFT JOIN agg a ON a.row = d.row AND a.col = d.col AND a.band = 1
+    """
+
+    # --- training-data ops ---------------------------------------------------
+    from rasterio_spark.functions.text import lang_id_sql, text_features_sql
+    from rasterio_spark.operators.dedup import (
+        dedup_exact_sql,
+        minhash_lsh_sql,
+        ngram_jaccard_sql,
+        simhash_sql,
+    )
+    from rasterio_spark.operators.multimodal import html_stats_sql
+    from rasterio_spark.operators.similarity import cosine_topk_sql, neardup_pairs_sql
+
+    tf = text_features_sql()
+    sqls["text_features"] = f"""
+        SELECT doc_id,
+               {tf['n_tokens']} AS n_tokens,
+               {tf['avg_token_len']} AS avg_token_len,
+               {tf['stopword_ratio']} AS stopword_ratio,
+               {tf['alpha_ratio']} AS alpha_ratio,
+               {tf['quality_score']} AS quality_score,
+               {tf['fingerprint']} AS fingerprint
+        FROM documents
+    """
+    sqls["lang_id"] = f"SELECT doc_id, {lang_id_sql()} AS pred_lang FROM documents"
+    sqls["dedup_exact"] = dedup_exact_sql()
+    sqls["ngram_jaccard"] = ngram_jaccard_sql(n=3, threshold=0.2)
+    sqls["minhash_lsh"] = minhash_lsh_sql()
+    sqls["simhash"] = simhash_sql()
+    sqls["cosine_topk"] = cosine_topk_sql(ANN_QUERY_IDS, ANN_K)
+    sqls["ivf_topk_fullprobe"] = sqls["cosine_topk"]
+    sqls["embedding_neardup"] = neardup_pairs_sql(tau=0.3)
+    sqls["html_stats"] = f"{_pages_cte()} {html_stats_sql()}"
+    # transform_points_3857, image_features_stub: rows-only by design
     return sqls

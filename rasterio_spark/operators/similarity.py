@@ -1,0 +1,174 @@
+"""Similarity search over embedding columns (array<float>).
+
+- ``cosine_topk``: brute-force exact top-k — the correctness baseline.
+  Dot products via zip_with + aggregate (sequential fold, JVM-side).
+- ``ivf_topk``: IVF-style scale path — coarse-quantize by the ``label``
+  partition (or any cluster id column), rank centroids per query, probe
+  only ``nprobe`` inverted lists. With nprobe = all clusters it equals
+  brute force (that identity is the oracle check).
+- ``neardup_pairs``: embedding near-duplicate pairs (cosine >= tau),
+  bucket-pruned by cluster to avoid O(n^2).
+
+Similarities are rounded to 6 decimals before ranking so engine-specific
+float-fold noise (~1e-15) can't flip an order; ties break on vec_id.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+from pyspark.sql import Window as W
+
+
+def _dot(a, b):
+    return F.aggregate(F.zip_with(a, b, lambda x, y: x * y), F.lit(0.0), lambda acc, v: acc + v)
+
+
+def _norm(a):
+    return F.sqrt(_dot(a, a))
+
+
+def with_unit_norm(df: DataFrame, col: str = "embedding") -> DataFrame:
+    a = F.transform(F.col(col), lambda x: x.cast("double"))
+    return df.withColumn("_vec", a).withColumn("_norm", _norm(F.col("_vec")))
+
+
+def cosine_topk(
+    embeddings: DataFrame, query_ids: list[int], k: int, id_col: str = "vec_id", vec_col: str = "embedding"
+) -> DataFrame:
+    """Exact top-k neighbors per query id (excluding self):
+    (query_id, vec_id, cos_sim, rank)."""
+    base = with_unit_norm(embeddings, vec_col).select(
+        F.col(id_col).alias("vec_id"), "_vec", "_norm"
+    )
+    queries = base.where(F.col("vec_id").isin(query_ids)).select(
+        F.col("vec_id").alias("query_id"),
+        F.col("_vec").alias("_qvec"),
+        F.col("_norm").alias("_qnorm"),
+    )
+    cand = base.crossJoin(F.broadcast(queries)).where(F.col("vec_id") != F.col("query_id"))
+    cos = F.round(_dot(F.col("_vec"), F.col("_qvec")) / (F.col("_norm") * F.col("_qnorm")), 6)
+    w = W.partitionBy("query_id").orderBy(F.col("cos_sim").desc(), F.col("vec_id").asc())
+    return (
+        cand.withColumn("cos_sim", cos)
+        .withColumn("rank", F.row_number().over(w))
+        .where(F.col("rank") <= k)
+        .select("query_id", "vec_id", "cos_sim", "rank")
+    )
+
+
+def cosine_topk_sql(query_ids: list[int], k: int, table: str = "embeddings") -> str:
+    ids = ", ".join(str(i) for i in query_ids)
+    vec = "list_transform(embedding, x -> CAST(x AS DOUBLE))"
+    return f"""
+        WITH base AS (
+          SELECT vec_id, {vec} AS v,
+                 sqrt(list_dot_product({vec}, {vec})) AS nrm
+          FROM {table}
+        ),
+        q AS (SELECT vec_id AS query_id, v AS qv, nrm AS qnrm FROM base WHERE vec_id IN ({ids})),
+        scored AS (
+          SELECT q.query_id, b.vec_id,
+                 round(list_dot_product(b.v, q.qv) / (b.nrm * q.qnrm), 6) AS cos_sim
+          FROM base b CROSS JOIN q WHERE b.vec_id != q.query_id
+        )
+        SELECT query_id, vec_id, cos_sim,
+               CAST(row_number() OVER (
+                 PARTITION BY query_id ORDER BY cos_sim DESC, vec_id ASC
+               ) AS INT) AS rank
+        FROM scored
+        QUALIFY rank <= {k}
+    """
+
+
+def ivf_topk(
+    embeddings: DataFrame,
+    query_ids: list[int],
+    k: int,
+    nprobe: int = 2,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    cluster_col: str = "label",
+) -> DataFrame:
+    """IVF approximate top-k: centroids = per-cluster mean vector
+    (one aggregation); per query rank centroids by cosine and probe the
+    nprobe nearest inverted lists only. At 100 TB the probe join is a
+    partition-pruned scan when the table is written partitioned by
+    cluster id."""
+    base = with_unit_norm(embeddings, vec_col).select(
+        F.col(id_col).alias("vec_id"), F.col(cluster_col).alias("cluster"), "_vec", "_norm"
+    )
+    dim = len(embeddings.select(vec_col).first()[0])
+    centroids = base.groupBy("cluster").agg(
+        F.array(*[F.round(F.avg(F.col("_vec")[i]), 9) for i in range(dim)]).alias("_cvec")
+    )
+    queries = base.where(F.col("vec_id").isin(query_ids)).select(
+        F.col("vec_id").alias("query_id"),
+        F.col("_vec").alias("_qvec"),
+        F.col("_norm").alias("_qnorm"),
+    )
+    qc = queries.crossJoin(F.broadcast(centroids))
+    csim = _dot(F.col("_qvec"), F.col("_cvec")) / (
+        F.sqrt(_dot(F.col("_cvec"), F.col("_cvec"))) * F.col("_qnorm")
+    )
+    wq = W.partitionBy("query_id").orderBy(F.round(csim, 6).desc(), F.col("cluster").asc())
+    probes = (
+        qc.withColumn("_crank", F.row_number().over(wq))
+        .where(F.col("_crank") <= nprobe)
+        .select("query_id", "_qvec", "_qnorm", "cluster")
+    )
+    cand = base.join(F.broadcast(probes), "cluster").where(F.col("vec_id") != F.col("query_id"))
+    cos = F.round(_dot(F.col("_vec"), F.col("_qvec")) / (F.col("_norm") * F.col("_qnorm")), 6)
+    w = W.partitionBy("query_id").orderBy(F.col("cos_sim").desc(), F.col("vec_id").asc())
+    return (
+        cand.withColumn("cos_sim", cos)
+        .withColumn("rank", F.row_number().over(w))
+        .where(F.col("rank") <= k)
+        .select("query_id", "vec_id", "cos_sim", "rank")
+    )
+
+
+def neardup_pairs(
+    embeddings: DataFrame, tau: float = 0.9, id_col: str = "vec_id", vec_col: str = "embedding",
+    cluster_col: str | None = "label",
+) -> DataFrame:
+    """(vec_a, vec_b, cos_sim) pairs with cosine >= tau, a < b.
+
+    With a cluster column the self-join is per-cluster (near-dups land
+    in the same coarse cell overwhelmingly often); cluster_col=None
+    falls back to the exact full cross join."""
+    base = with_unit_norm(embeddings, vec_col).select(
+        F.col(id_col).alias("vec_id"),
+        (F.col(cluster_col) if cluster_col else F.lit(0)).alias("cluster"),
+        "_vec",
+        "_norm",
+    )
+    a = base.alias("a")
+    b = base.alias("b")
+    cond = (F.col("a.cluster") == F.col("b.cluster")) & (F.col("a.vec_id") < F.col("b.vec_id"))
+    cos = F.round(
+        _dot(F.col("a._vec"), F.col("b._vec")) / (F.col("a._norm") * F.col("b._norm")), 6
+    )
+    return (
+        a.join(b, cond)
+        .withColumn("cos_sim", cos)
+        .where(F.col("cos_sim") >= tau)
+        .select(F.col("a.vec_id").alias("vec_a"), F.col("b.vec_id").alias("vec_b"), "cos_sim")
+    )
+
+
+def neardup_pairs_sql(tau: float = 0.9, table: str = "embeddings", use_cluster: bool = True) -> str:
+    vec = "list_transform(embedding, x -> CAST(x AS DOUBLE))"
+    cluster = "label" if use_cluster else "0"
+    return f"""
+        WITH base AS (
+          SELECT vec_id, {cluster} AS cluster, {vec} AS v,
+                 sqrt(list_dot_product({vec}, {vec})) AS nrm
+          FROM {table}
+        )
+        SELECT a.vec_id AS vec_a, b.vec_id AS vec_b,
+               round(list_dot_product(a.v, b.v) / (a.nrm * b.nrm), 6) AS cos_sim
+        FROM base a JOIN base b
+          ON a.cluster = b.cluster AND a.vec_id < b.vec_id
+        WHERE round(list_dot_product(a.v, b.v) / (a.nrm * b.nrm), 6) >= {tau}
+    """

@@ -1,0 +1,378 @@
+"""Warp / reproject / resample — re-gridding as joins and aggregations
+(SURVEY.md §2.5; reference /root/reference/rasterio/warp.py:151-618 +
+_warp.pyx:230-858).
+
+- ``calculate_default_transform``: dst grid suggestion — transform the
+  densified source bounds, then preserve the source pixel count along
+  the larger axis (the engine's documented rule; GDAL's
+  SuggestedWarpOutput differs in low-order digits).
+- ``aligned_target``: snap to resolution multiples (GDAL -tap,
+  warp.py:412-451).
+- ``reproject``: inverse-mapping re-grid — for every dst cell, compute
+  the fractional src coordinate and gather:
+  nearest -> equi-join on the floored src cell;
+  bilinear -> 4-neighbor gather join with edge-clamped weights;
+  average (area) -> groupBy of src cells landing in each dst cell.
+  The shuffle is a single repartition by dst cell.
+- ``downsample``: rasterio build_overviews/decimated-read aggregations
+  (_io.pyx:2019, enums.py:75-126): average, mode, max, min, med, q1,
+  q3, sum, rms, count over each f x f block of child cells — all
+  expressible as one groupBy (pre-aggregated map-side).
+
+Affine-to-affine re-gridding in one CRS is exact integer/float column
+math (oracle-checkable); the 4326<->3857 hop goes through ln/tan and is
+validated against the NumPy oracle in pytest instead.
+"""
+
+from __future__ import annotations
+
+import math
+
+import numpy as np
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+from pyspark.sql import Window as W
+
+from rasterio_spark.grid.affine import Affine
+from rasterio_spark.grid.crs import crs_equal, transform_bounds, transform_points
+from rasterio_spark.grid.transform import array_bounds
+
+
+def calculate_default_transform(
+    src_crs,
+    dst_crs,
+    width: int,
+    height: int,
+    left: float,
+    bottom: float,
+    right: float,
+    top: float,
+    resolution=None,
+    dst_width: int | None = None,
+    dst_height: int | None = None,
+) -> tuple[Affine, int, int]:
+    """Suggest (dst_transform, dst_width, dst_height)
+    (reference warp.py:454-618 semantics; resolution / fixed-dims
+    overrides rescale the affine exactly like the reference)."""
+    dl, db, dr, dt = transform_bounds(src_crs, dst_crs, left, bottom, right, top)
+
+    if dst_width is not None and dst_height is not None:
+        t = Affine.translation(dl, dt) * Affine.scale(
+            (dr - dl) / dst_width, (db - dt) / dst_height
+        )
+        return t, dst_width, dst_height
+
+    if resolution is not None:
+        if np.isscalar(resolution):
+            xres = yres = float(resolution)
+        else:
+            xres, yres = map(float, resolution)
+        w = max(1, int(math.ceil((dr - dl) / xres)))
+        h = max(1, int(math.ceil((dt - db) / yres)))
+        return Affine.translation(dl, dt) * Affine.scale(xres, -yres), w, h
+
+    # default rule: keep pixel count along the dominant axis
+    res = max((dr - dl) / width, (dt - db) / height)
+    w = max(1, int(round((dr - dl) / res)))
+    h = max(1, int(round((dt - db) / res)))
+    return Affine.translation(dl, dt) * Affine.scale(res, -res), w, h
+
+
+def aligned_target(transform: Affine, width: int, height: int, resolution) -> tuple[Affine, int, int]:
+    """Snap a grid to resolution multiples (GDAL -tap;
+    parity: warp.py:412-451)."""
+    if np.isscalar(resolution):
+        xres = yres = float(resolution)
+    else:
+        xres, yres = map(float, resolution)
+    left, bottom, right, top = array_bounds(height, width, transform)
+    left = xres * math.floor(left / xres)
+    right = xres * math.ceil(right / xres)
+    bottom = yres * math.floor(bottom / yres)
+    top = yres * math.ceil(top / yres)
+    w = int((right - left) / xres)
+    h = int((top - bottom) / yres)
+    return Affine.translation(left, top) * Affine.scale(xres, -yres), w, h
+
+
+def _dst_domain(spark, dst_width: int, dst_height: int) -> DataFrame:
+    return (
+        spark.range(0, dst_height)
+        .select(F.col("id").cast("int").alias("row"))
+        .withColumn("col", F.explode(F.sequence(F.lit(0), F.lit(dst_width - 1))))
+    )
+
+
+def _src_fractional_cols(dst_transform: Affine, src_transform: Affine, src_crs, dst_crs):
+    """(src_col_frac, src_row_frac) Column expressions for a dst (row, col).
+
+    Same-CRS path is pure column arithmetic; the 4326<->3857 hop inlines
+    the mercator formulas as JVM expressions (still zero Python).
+    Requires axis-aligned transforms (the merge/warp operators refuse
+    rotation, like reference merge.py:302-313).
+    """
+    a, b, c, d, e, f = dst_transform
+    if b != 0 or d != 0:
+        raise ValueError("rotated dst transforms are not supported")
+    sa, sb, sc, sd, se, sf = src_transform
+    if sb != 0 or sd != 0:
+        raise ValueError("rotated src transforms are not supported")
+
+    x = F.lit(a) * (F.col("col") + 0.5) + F.lit(c)
+    y = F.lit(e) * (F.col("row") + 0.5) + F.lit(f)
+
+    if not crs_equal(src_crs, dst_crs):
+        from rasterio_spark.grid.crs import R, normalize_crs
+
+        pair = (normalize_crs(dst_crs), normalize_crs(src_crs))
+        if pair == ("EPSG:3857", "EPSG:4326"):
+            lon = x / R * (180.0 / math.pi)
+            lat = (F.atan(F.exp(y / R)) * 2.0 - math.pi / 2.0) * (180.0 / math.pi)
+            x, y = lon, lat
+        elif pair == ("EPSG:4326", "EPSG:3857"):
+            mx = x * (math.pi / 180.0) * R
+            my = F.log(F.tan(math.pi / 4.0 + y * (math.pi / 360.0))) * R
+            x, y = mx, my
+        else:
+            raise ValueError(f"unsupported CRS pair {pair}")
+
+    col_f = (x - F.lit(sc)) / F.lit(sa)
+    row_f = (y - F.lit(sf)) / F.lit(se)
+    return col_f, row_f
+
+
+def reproject(
+    src_cells: DataFrame,
+    src_transform: Affine,
+    src_crs,
+    dst_transform: Affine,
+    dst_crs,
+    dst_width: int,
+    dst_height: int,
+    resampling: str = "nearest",
+    src_nodata: float = 0.0,
+    dst_nodata: float | None = None,
+) -> DataFrame:
+    """Inverse-mapping warp producing the dense dst grid
+    (band, row, col, value, valid)."""
+    spark = src_cells.sparkSession
+    if dst_nodata is None:
+        dst_nodata = src_nodata
+    dom = _dst_domain(spark, dst_width, dst_height)
+    col_f, row_f = _src_fractional_cols(dst_transform, src_transform, src_crs, dst_crs)
+    dom = dom.withColumn("_cf", col_f).withColumn("_rf", row_f)
+
+    if resampling == "nearest":
+        dom = dom.withColumn("_sc", F.floor("_cf").cast("int")).withColumn(
+            "_sr", F.floor("_rf").cast("int")
+        )
+        src = src_cells.select(
+            F.col("band"),
+            F.col("row").alias("_sr"),
+            F.col("col").alias("_sc"),
+            "value",
+            "valid",
+        )
+        joined = dom.join(src, ["_sr", "_sc"], "left")
+        return joined.select(
+            F.coalesce("band", F.lit(1)).alias("band"),
+            "row",
+            "col",
+            F.coalesce(
+                F.when(F.col("valid"), F.col("value")), F.lit(dst_nodata)
+            ).alias("value"),
+            F.coalesce("valid", F.lit(False)).alias("valid"),
+        )
+
+    if resampling == "bilinear":
+        # fractional position of the dst cell center among src centers
+        dom = (
+            dom.withColumn("_gx", F.col("_cf") - 0.5)
+            .withColumn("_gy", F.col("_rf") - 0.5)
+            .withColumn("_c0", F.floor("_gx").cast("int"))
+            .withColumn("_r0", F.floor("_gy").cast("int"))
+            .withColumn("_wx", F.col("_gx") - F.col("_c0"))
+            .withColumn("_wy", F.col("_gy") - F.col("_r0"))
+        )
+        # 4-neighbor gather: explode the 2x2 stencil
+        off = F.explode(
+            F.array(
+                F.struct(F.lit(0).alias("dr"), F.lit(0).alias("dc")),
+                F.struct(F.lit(0).alias("dr"), F.lit(1).alias("dc")),
+                F.struct(F.lit(1).alias("dr"), F.lit(0).alias("dc")),
+                F.struct(F.lit(1).alias("dr"), F.lit(1).alias("dc")),
+            )
+        )
+        g = dom.withColumn("_o", off)
+        g = g.withColumn("_sr", F.col("_r0") + F.col("_o.dr")).withColumn(
+            "_sc", F.col("_c0") + F.col("_o.dc")
+        )
+        wgt = (
+            F.when(F.col("_o.dr") == 0, 1.0 - F.col("_wy")).otherwise(F.col("_wy"))
+        ) * (F.when(F.col("_o.dc") == 0, 1.0 - F.col("_wx")).otherwise(F.col("_wx")))
+        g = g.withColumn("_w", wgt)
+        src = src_cells.select(
+            "band",
+            F.col("row").alias("_sr"),
+            F.col("col").alias("_sc"),
+            "value",
+            "valid",
+        )
+        j = g.join(src, ["_sr", "_sc"], "left")
+        j = j.withColumn(
+            "_wv",
+            F.when(F.col("valid") & F.col("value").isNotNull(), F.col("_w")).otherwise(0.0),
+        )
+        agg = j.groupBy("row", "col").agg(
+            F.round(
+                F.sum(F.when(F.col("_wv") > 0, F.col("_w") * F.col("value")).otherwise(0.0))
+                / F.sum("_wv"),
+                6,
+            ).alias("_v"),
+            F.sum("_wv").alias("_tw"),
+            F.max(F.coalesce("band", F.lit(1))).alias("band"),
+        )
+        return agg.select(
+            "band",
+            "row",
+            "col",
+            F.coalesce(F.when(F.col("_tw") > 0, F.col("_v")), F.lit(dst_nodata)).alias("value"),
+            (F.col("_tw") > 0).alias("valid"),
+        )
+
+    if resampling == "average":
+        # area method: each valid src cell lands in one dst cell
+        a, b, c, d, e, f = dst_transform
+        sa, sb, sc, sd, se, sf = src_transform
+        src = src_cells.where(F.col("valid"))
+        x = F.lit(sa) * (F.col("col") + 0.5) + F.lit(sc)
+        y = F.lit(se) * (F.col("row") + 0.5) + F.lit(sf)
+        if not crs_equal(src_crs, dst_crs):
+            raise ValueError("average reprojection across CRS not supported yet")
+        dcol = F.floor((x - F.lit(c)) / F.lit(a)).cast("int")
+        drow = F.floor((y - F.lit(f)) / F.lit(e)).cast("int")
+        landed = src.select(
+            "band",
+            drow.alias("row"),
+            dcol.alias("col"),
+            "value",
+        ).where(
+            (F.col("row") >= 0)
+            & (F.col("row") < dst_height)
+            & (F.col("col") >= 0)
+            & (F.col("col") < dst_width)
+        )
+        agg = landed.groupBy("band", "row", "col").agg(
+            F.round(F.avg("value"), 6).alias("value")
+        )
+        dom2 = _dst_domain(spark, dst_width, dst_height).withColumn("band", F.lit(1))
+        out = dom2.join(agg, ["band", "row", "col"], "left")
+        return out.select(
+            "band",
+            "row",
+            "col",
+            F.coalesce("value", F.lit(dst_nodata)).alias("value"),
+            F.col("value").isNotNull().alias("valid"),
+        )
+
+    raise ValueError(f"unsupported resampling {resampling!r}")
+
+
+RESAMPLING_AGGS = (
+    "average",
+    "mode",
+    "max",
+    "min",
+    "med",
+    "q1",
+    "q3",
+    "sum",
+    "rms",
+    "count",
+)
+
+
+def downsample(cells: DataFrame, factor: int, method: str = "average") -> DataFrame:
+    """Overview level: aggregate each factor x factor block of valid
+    child cells into a parent cell (build_overviews semantics;
+    resampling set from reference enums.py:75-126; gauss/lanczos/
+    cubic_spline documented out of scope)."""
+    if method not in RESAMPLING_AGGS:
+        raise ValueError(f"unsupported downsample method {method!r}")
+    src = cells.where(F.col("valid"))
+    g = src.groupBy(
+        "band",
+        F.expr(f"row DIV {factor}").cast("int").alias("row"),
+        F.expr(f"col DIV {factor}").cast("int").alias("col"),
+    )
+    if method == "average":
+        agg = F.round(F.avg("value"), 6)
+    elif method == "max":
+        agg = F.max("value")
+    elif method == "min":
+        agg = F.min("value")
+    elif method == "sum":
+        agg = F.sum("value")
+    elif method == "count":
+        agg = F.count("value").cast("double")
+    elif method == "rms":
+        agg = F.round(F.sqrt(F.avg(F.col("value") * F.col("value"))), 6)
+    elif method in ("med", "q1", "q3"):
+        q = {"med": 0.5, "q1": 0.25, "q3": 0.75}[method]
+        agg = F.round(F.expr(f"percentile(value, {q})"), 6)
+    elif method == "mode":
+        # deterministic mode: highest count, ties -> smallest value
+        counts = src.groupBy(
+            "band",
+            F.expr(f"row DIV {factor}").cast("int").alias("row"),
+            F.expr(f"col DIV {factor}").cast("int").alias("col"),
+            "value",
+        ).agg(F.count(F.lit(1)).alias("_n"))
+        w = W.partitionBy("band", "row", "col").orderBy(
+            F.col("_n").desc(), F.col("value").asc()
+        )
+        return (
+            counts.withColumn("_rk", F.row_number().over(w))
+            .where(F.col("_rk") == 1)
+            .select("band", "row", "col", "value")
+        )
+    return g.agg(agg.alias("value"))
+
+
+def downsample_sql(factor: int, method: str, cells_cte: str = "cells") -> str:
+    """DuckDB oracle twin of downsample."""
+    base = f"""
+        SELECT band,
+               CAST(row // {factor} AS INTEGER) AS row,
+               CAST(col // {factor} AS INTEGER) AS col,
+               value
+        FROM {cells_cte} WHERE valid
+    """
+    if method == "mode":
+        return f"""
+            SELECT band, row, col, value FROM (
+              SELECT band, row, col, value,
+                     row_number() OVER (
+                       PARTITION BY band, row, col
+                       ORDER BY count(*) DESC, value ASC
+                     ) AS rk
+              FROM ({base}) GROUP BY band, row, col, value
+            ) WHERE rk = 1
+        """
+    agg = {
+        "average": "round(avg(value), 6)",
+        "max": "max(value)",
+        "min": "min(value)",
+        "sum": "sum(value)",
+        "count": "CAST(count(value) AS DOUBLE)",
+        "rms": "round(sqrt(avg(value * value)), 6)",
+        "med": "round(quantile_cont(value, 0.5), 6)",
+        "q1": "round(quantile_cont(value, 0.25), 6)",
+        "q3": "round(quantile_cont(value, 0.75), 6)",
+    }[method]
+    return f"SELECT band, row, col, {agg} AS value FROM ({base}) GROUP BY band, row, col"
+
+
+def build_overviews(cells: DataFrame, factors: list[int], method: str = "average") -> dict[int, DataFrame]:
+    """Materialized LOD pyramid: {factor: overview DataFrame}."""
+    return {f: downsample(cells, f, method) for f in factors}
