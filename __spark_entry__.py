@@ -356,6 +356,89 @@ def q_image_features_stub(spark: SparkSession, sf_dir: str) -> DataFrame:
     return extract_image_features(pages, binary_col="html", id_col="url")
 
 
+def _cells3(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """3-band grid derived from documents (for band math)."""
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    return docs.select(
+        (1 + F.col("doc_id") % 3).cast("int").alias("band"),
+        F.expr("CAST((doc_id DIV 3) DIV 16 AS INT)").alias("row"),
+        F.expr("CAST((doc_id DIV 3) % 16 AS INT)").alias("col"),
+        (F.col("n_chars") % 256).cast("double").alias("value"),
+        ((F.col("n_chars") % 256) != 0).alias("valid"),
+    )
+
+
+_CELLS3_SQL = """
+    SELECT CAST(1 + doc_id % 3 AS INTEGER) AS band,
+           CAST((doc_id // 3) // 16 AS INTEGER) AS row,
+           CAST((doc_id // 3) % 16 AS INTEGER) AS col,
+           CAST(n_chars % 256 AS DOUBLE) AS value,
+           (n_chars % 256) != 0 AS valid
+    FROM documents
+"""
+
+
+def q_calc(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """rio calc equivalent: SQL expression over pivoted bands."""
+    from rasterio_spark.operators.calc import calc
+
+    return calc(_cells3(spark, sf_dir), "0.95 * b1 + 0.05 * b2 + 10", bands=[1, 2, 3])
+
+
+def q_streaming_tile_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Structured-Streaming tiling (watermarked event-time windows)
+    driven to completion over a static directory; equals the batch
+    group-by, which is the oracle."""
+    import os as _os
+
+    from rasterio_spark.streaming.pipeline import (
+        read_pages_stream,
+        run_stream_to_memory,
+        streaming_tile_counts,
+    )
+
+    stream_dir = _os.path.join(
+        _os.path.dirname(_os.path.abspath(__file__)),
+        ".bench_cache",
+        f"stream_pages_{_os.path.basename(_os.path.normpath(sf_dir))}",
+    )
+    if not _os.path.exists(_os.path.join(stream_dir, "_SUCCESS")):
+        _pages(spark, sf_dir).write.mode("overwrite").parquet(stream_dir)
+    stream = read_pages_stream(spark, stream_dir)
+    name = "stream_tile_counts_out"
+    out = run_stream_to_memory(streaming_tile_counts(stream, res=TILE_RES), name)
+    # append mode holds back windows inside the watermark at end-of-
+    # stream; compare closed windows only (same filter in the oracle)
+    cutoff = spark.read.parquet(stream_dir).select(
+        F.date_trunc("hour", F.max("warc_ts")) - F.expr("INTERVAL 3 HOURS")
+    ).first()[0]
+    return out.where(F.col("window_start") <= F.lit(cutoff))
+
+
+def q_fillnodata(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from rasterio_spark.operators.fill import fillnodata
+
+    return fillnodata(_cells(spark, sf_dir), max_search_distance=2)
+
+
+def q_shapes_summary(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Connected components over a thresholded layer — rows-only check
+    (iterative CC is not ANSI-SQL-expressible; exactness is covered by
+    the pytest fixtures ported from the reference)."""
+    from rasterio_spark.operators.shapes import shapes_summary
+
+    cells = _cells(spark, sf_dir).withColumn("value", (F.col("value") > 128).cast("double"))
+    return shapes_summary(cells, connectivity=4)
+
+
+def q_sieve(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Sieve small regions — rows-only check (see q_shapes_summary)."""
+    from rasterio_spark.operators.shapes import sieve
+
+    cells = _cells(spark, sf_dir).withColumn("value", (F.col("value") > 128).cast("double"))
+    return sieve(cells, size=3, connectivity=4)
+
+
 def entry(spark: SparkSession) -> DataFrame:
     """Flagship: tiling + per-cell language histogram at sf0.001."""
     return q_cell_histogram(spark, "/root/testdata/sf0.001")
@@ -399,6 +482,11 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "embedding_neardup": q_embedding_neardup,
         "html_stats": q_html_stats,
         "image_features_stub": q_image_features_stub,
+        "fillnodata": q_fillnodata,
+        "shapes_summary": q_shapes_summary,
+        "sieve": q_sieve,
+        "calc": q_calc,
+        "streaming_tile_counts": q_streaming_tile_counts,
     }
     for m in ("first", "last", "min", "max", "sum", "count"):
         qs[f"merge_{m}"] = _merge_query(m)
@@ -602,5 +690,28 @@ def oracle_sql() -> dict[str, str]:
     sqls["ivf_topk_fullprobe"] = sqls["cosine_topk"]
     sqls["embedding_neardup"] = neardup_pairs_sql(tau=0.3)
     sqls["html_stats"] = f"{_pages_cte()} {html_stats_sql()}"
-    # transform_points_3857, image_features_stub: rows-only by design
+
+    from rasterio_spark.operators.fill import fillnodata_sql
+
+    sqls["fillnodata"] = f"{_cells_cte()}, {fillnodata_sql(2)}"
+
+    from rasterio_spark.operators.calc import calc_sql
+
+    sqls["calc"] = f"WITH cells AS ({_CELLS3_SQL}) " + calc_sql(
+        "0.95 * b1 + 0.05 * b2 + 10", bands=[1, 2, 3]
+    )
+    lon_sql2, lat_sql2 = geocode_sql()
+    cell2 = encode_sql(lon_sql2, lat_sql2, TILE_RES)
+    sqls["streaming_tile_counts"] = f"""
+        {_pages_cte()}
+        SELECT date_trunc('hour', warc_ts) AS window_start,
+               {cell2} AS cell_id,
+               COUNT(*) AS n_pages
+        FROM pages
+        WHERE date_trunc('hour', warc_ts) <=
+              (SELECT date_trunc('hour', max(warc_ts)) - INTERVAL 3 HOUR FROM pages)
+        GROUP BY 1, 2
+    """
+    # transform_points_3857, image_features_stub, shapes_summary, sieve:
+    # rows-only by design (UDF decode stub / iterative connected components)
     return sqls

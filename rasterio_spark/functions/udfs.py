@@ -16,29 +16,25 @@ from rasterio_spark.grid.affine import Affine
 from rasterio_spark.grid.geometry import points_in_rings
 
 
-def make_pip_udf(rings_bcast):
+def make_pip_udf(flat_bcast):
     """Point-in-polygon refine: (polygon_id, x, y) -> bool.
 
-    ``rings_bcast`` is a SparkContext.broadcast of
-    {polygon_id: [ring ndarray, ...]}. Batches are grouped by polygon id
-    and ray-cast in one vectorized pass per group — the residual filter
-    of the filter-and-refine join (SURVEY.md §2.3).
+    ``flat_bcast`` is a SparkContext.broadcast of a
+    geometry.FlatPolygons (all rings concatenated). The whole batch is
+    ray-cast in ONE flat vectorized pass — no per-polygon Python loop —
+    the residual filter of the filter-and-refine join (SURVEY.md §2.3).
     """
 
     @F.pandas_udf(BooleanType())
     def pip(polygon_id: pd.Series, x: pd.Series, y: pd.Series) -> pd.Series:
-        rings_by_id = rings_bcast.value
-        out = np.zeros(len(polygon_id), dtype=bool)
-        pid = polygon_id.values
-        xs = x.values.astype("float64")
-        ys = y.values.astype("float64")
-        for p in pd.unique(pid):
-            rings = rings_by_id.get(p)
-            if rings is None:
-                continue
-            m = pid == p
-            out[m] = points_in_rings(xs[m], ys[m], rings)
-        return pd.Series(out)
+        flat = flat_bcast.value
+        return pd.Series(
+            flat.contains(
+                polygon_id.values,
+                x.values.astype("float64"),
+                y.values.astype("float64"),
+            )
+        )
 
     return pip
 

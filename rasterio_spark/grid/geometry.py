@@ -177,6 +177,79 @@ def points_in_rings(px: np.ndarray, py: np.ndarray, rings: list[np.ndarray]) -> 
     return inside
 
 
+class FlatPolygons:
+    """All polygons' ring edges concatenated into flat arrays, for
+    batch PIP with NO per-polygon Python loop.
+
+    Layout: edges of polygon k occupy [starts[k], starts[k] + counts[k])
+    in (x0, y0, x1, y1); ``index`` maps polygon_id -> k. Built once on
+    the driver, broadcast to executors.
+    """
+
+    __slots__ = ("index", "starts", "counts", "x0", "y0", "x1", "y1")
+
+    def __init__(self, rings_by_id: dict):
+        self.index = {}
+        xs0, ys0, xs1, ys1 = [], [], [], []
+        starts, counts = [], []
+        pos = 0
+        for pid, rings in rings_by_id.items():
+            self.index[pid] = len(starts)
+            n = 0
+            for ring in rings:
+                xs0.append(ring[:-1, 0])
+                ys0.append(ring[:-1, 1])
+                xs1.append(ring[1:, 0])
+                ys1.append(ring[1:, 1])
+                n += len(ring) - 1
+            starts.append(pos)
+            counts.append(n)
+            pos += n
+        self.starts = np.asarray(starts, dtype=np.int64)
+        self.counts = np.asarray(counts, dtype=np.int64)
+        self.x0 = np.concatenate(xs0) if xs0 else np.zeros(0)
+        self.y0 = np.concatenate(ys0) if ys0 else np.zeros(0)
+        self.x1 = np.concatenate(xs1) if xs1 else np.zeros(0)
+        self.y1 = np.concatenate(ys1) if ys1 else np.zeros(0)
+
+    def contains(self, pid: np.ndarray, px: np.ndarray, py: np.ndarray) -> np.ndarray:
+        """Even-odd PIP for (pid_i, x_i, y_i) triples — one flat
+        vectorized pass: each candidate row is repeated once per edge of
+        ITS polygon, crossings are ray-cast in bulk, and parity is
+        reduced per row with np.add.reduceat."""
+        n = len(pid)
+        if n == 0:
+            return np.zeros(0, dtype=bool)
+        k = np.array([self.index.get(p, -1) for p in pid], dtype=np.int64)
+        known = k >= 0
+        out = np.zeros(n, dtype=bool)
+        if not known.any():
+            return out
+        ki = k[known]
+        cnt = self.counts[ki]
+        total = int(cnt.sum())
+        if total == 0:
+            return out
+        row_rep = np.repeat(np.arange(len(ki)), cnt)
+        # edge indices: starts[ki] repeated + within-row offset
+        cum = np.concatenate([[0], np.cumsum(cnt)[:-1]])
+        within = np.arange(total) - np.repeat(cum, cnt)
+        e = np.repeat(self.starts[ki], cnt) + within
+        ex0, ey0, ex1, ey1 = self.x0[e], self.y0[e], self.x1[e], self.y1[e]
+        pxk = np.asarray(px, dtype="float64")[known]
+        pyk = np.asarray(py, dtype="float64")[known]
+        rx = pxk[row_rep]
+        ry = pyk[row_rep]
+        straddles = (ey0 <= ry) != (ey1 <= ry)
+        with np.errstate(divide="ignore", invalid="ignore"):
+            x_at_y = ex0 + (ry - ey0) * (ex1 - ex0) / (ey1 - ey0)
+        crossings = (straddles & (rx < x_at_y)).astype(np.int64)
+        bounds = np.concatenate([[0], np.cumsum(cnt)[:-1]])
+        sums = np.add.reduceat(crossings, bounds)
+        out[np.nonzero(known)[0]] = (sums % 2).astype(bool)
+        return out
+
+
 def _segments_intersect_rects(p0: np.ndarray, p1: np.ndarray, rects: np.ndarray) -> np.ndarray:
     """For each rect (n, 4 = x0,y0,x1,y1), does ANY segment (m, 2)->(m, 2)
     intersect it? Liang-Barsky clip test, vectorized (rects x segments)."""
@@ -312,15 +385,23 @@ class STRtree:
         )
         q_idx_out: list[np.ndarray] = []
         item_out: list[np.ndarray] = []
-        q_hits, leaf_hits = np.nonzero(hit)
-        for qi, li in zip(q_hits, leaf_hits):
+        # iterate LEAVES (few), vectorize over the queries hitting each
+        for li in range(len(self.leaf_items)):
+            q_hit = np.nonzero(hit[:, li])[0]
+            if not q_hit.size:
+                continue
             ib = self._item_boxes[li]
-            qb = qboxes[qi]
-            m = (qb[0] <= ib[:, 2]) & (qb[2] >= ib[:, 0]) & (qb[1] <= ib[:, 3]) & (qb[3] >= ib[:, 1])
-            items = self.leaf_items[li][m]
-            if items.size:
-                q_idx_out.append(np.full(items.shape, qi, dtype=np.int64))
-                item_out.append(items)
+            qb = qboxes[q_hit]
+            m = (
+                (qb[:, None, 0] <= ib[None, :, 2])
+                & (qb[:, None, 2] >= ib[None, :, 0])
+                & (qb[:, None, 1] <= ib[None, :, 3])
+                & (qb[:, None, 3] >= ib[None, :, 1])
+            )
+            qi2, ii = np.nonzero(m)
+            if qi2.size:
+                q_idx_out.append(q_hit[qi2])
+                item_out.append(self.leaf_items[li][ii])
         if not q_idx_out:
             return np.zeros(0, dtype=np.int64), np.zeros(0, dtype=np.int64)
         return np.concatenate(q_idx_out), np.concatenate(item_out)

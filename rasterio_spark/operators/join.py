@@ -34,29 +34,60 @@ from rasterio_spark.operators.tile import DEFAULT_RES, tile_pages
 from rasterio_spark.sources.polygons import prepare_layer
 
 
-def _polygon_cover(entries, res: int) -> pd.DataFrame:
-    """(cell_id, polygon_id, value) for every cell whose extent overlaps
-    a polygon's bbox — the join's build side. Driver-side NumPy; size is
-    O(total bbox area in cells), independent of page count."""
+def _polygon_cover(entries, res: int, rings_by_id=None) -> pd.DataFrame:
+    """(cell_id, polygon_id, value, interior) for every cell whose
+    extent overlaps a polygon's bbox — the join's build side.
+
+    ``interior`` marks cells FULLY contained in the polygon: pages in
+    those cells are accepted without the ray-casting refine (classic
+    filter-and-refine with an interior shortcut — only the O(perimeter)
+    boundary cells pay the UDF, not the O(area) interior). Driver-side
+    NumPy; size is O(total bbox area in cells), independent of page
+    count.
+    """
+    from rasterio_spark.grid.geometry import _segments_intersect_rects, points_in_rings
+
     ny, nx = C.grid_shape(res)
+    cell_w = C.LON_SPAN / nx
+    cell_h = C.LAT_SPAN / ny
     out_cells = []
     out_pid = []
     out_val = []
+    out_int = []
     for pid, value, (left, bottom, right, top) in entries:
         r_lo, c_lo = C.rowcol_of(left, top, res)
         r_hi, c_hi = C.rowcol_of(right, bottom, res)
         rr = np.arange(min(r_lo, r_hi), max(r_lo, r_hi) + 1, dtype=np.int64)
         cc = np.arange(min(c_lo, c_hi), max(c_lo, c_hi) + 1, dtype=np.int64)
         grid_r, grid_c = np.meshgrid(rr, cc, indexing="ij")
-        ids = C.cell_id_from_rowcol(grid_r.ravel(), grid_c.ravel(), res)
+        flat_r = grid_r.ravel()
+        flat_c = grid_c.ravel()
+        ids = C.cell_id_from_rowcol(flat_r, flat_c, res)
+        if rings_by_id is not None and pid in rings_by_id:
+            rings = rings_by_id[pid]
+            # cell bbox in lon/lat (north-up grid: row 0 at LAT_MAX)
+            x0 = C.LON_MIN + flat_c * cell_w
+            x1 = x0 + cell_w
+            y1 = C.LAT_MAX - flat_r * cell_h
+            y0 = y1 - cell_h
+            center_in = points_in_rings((x0 + x1) / 2.0, (y0 + y1) / 2.0, rings)
+            rects = np.stack([x0, y0, x1, y1], axis=1)
+            p0 = np.concatenate([r[:-1] for r in rings])
+            p1 = np.concatenate([r[1:] for r in rings])
+            crossed = _segments_intersect_rects(p0, p1, rects)
+            interior = center_in & ~crossed
+        else:
+            interior = np.zeros(ids.shape, dtype=bool)
         out_cells.append(ids)
         out_pid.append(np.full(ids.shape, pid, dtype=np.int64))
         out_val.append(np.full(ids.shape, value, dtype="float64"))
+        out_int.append(interior)
     return pd.DataFrame(
         {
             "cell_id": np.concatenate(out_cells),
             "polygon_id": np.concatenate(out_pid),
             "poly_value": np.concatenate(out_val),
+            "interior": np.concatenate(out_int),
         }
     )
 
@@ -76,7 +107,9 @@ def pip_join(
     """
     spark = pages.sparkSession
     entries, rings_by_id = prepare_layer(polygons)
-    bcast = spark.sparkContext.broadcast(rings_by_id)
+    from rasterio_spark.grid.geometry import FlatPolygons
+
+    bcast = spark.sparkContext.broadcast(FlatPolygons(rings_by_id))
     tiled = tile_pages(pages, res=res, skew=skew)
 
     if strategy == "rtree":
@@ -95,10 +128,8 @@ def pip_join(
         )
 
         def probe(batches):
-            from rasterio_spark.grid.geometry import points_in_rings as pir
-
             tree, vals = tree_bc.value
-            rings_by = bcast.value
+            flat = bcast.value
             for pdf in batches:
                 if not len(pdf):
                     continue
@@ -109,12 +140,7 @@ def pip_join(
                 qi, pid = tree.query(pts)
                 if not len(qi):
                     continue
-                keep = np.zeros(len(qi), dtype=bool)
-                for p in np.unique(pid):
-                    m = pid == p
-                    keep[m] = pir(
-                        pdf["lon"].values[qi[m]], pdf["lat"].values[qi[m]], rings_by[int(p)]
-                    )
+                keep = flat.contains(pid, pdf["lon"].values[qi], pdf["lat"].values[qi])
                 qi, pid = qi[keep], pid[keep]
                 out = pdf.iloc[qi].reset_index(drop=True)
                 out["polygon_id"] = pid.astype("int64")
@@ -123,7 +149,7 @@ def pip_join(
 
         return tiled.mapInPandas(probe, schema=out_schema)
 
-    cover_pdf = _polygon_cover(entries, res)
+    cover_pdf = _polygon_cover(entries, res, rings_by_id)
     cover = spark.createDataFrame(cover_pdf)
 
     if strategy == "broadcast":
@@ -139,18 +165,31 @@ def pip_join(
     else:
         raise ValueError(f"unknown strategy {strategy!r}")
 
+    from rasterio_spark.functions.udfs import make_pip_udf
+
+    pip = make_pip_udf(bcast)
+    # interior shortcut: cover rows of fully-interior cells accept
+    # without ray casting. Kept as one OR-filter over a single scan —
+    # measured best of {single-scan full-UDF, two-branch union,
+    # OR-filter} at both local[8] and local[32]; at cluster scale the
+    # single pages scan is the dominant term and this plan reads it
+    # exactly once.
+    out = cand.where(
+        F.col("interior") | pip(F.col("polygon_id"), F.col("lon"), F.col("lat"))
+    ).drop("interior")
+
     if salt_buckets:
-        # spread hot cells before the (wide) refine stage; no-op on output
-        cand = cand.repartition(
+        # Cell-prefix + salt layout for downstream keyed stages (hot
+        # cells split across salt_buckets tasks). Applied AFTER the
+        # refine: the refine is a narrow filter that needs no shuffle,
+        # and the refined output is the smaller side to move. No-op on
+        # output content.
+        out = out.repartition(
             spark.sparkContext.defaultParallelism,
             F.col("cell_id"),
             F.pmod(F.hash("url"), F.lit(salt_buckets)),
         )
-
-    from rasterio_spark.functions.udfs import make_pip_udf
-
-    pip = make_pip_udf(bcast)
-    return cand.where(pip(F.col("polygon_id"), F.col("lon"), F.col("lat")))
+    return out
 
 
 def pip_join_count(pages: DataFrame, polygons: list[dict], res: int = DEFAULT_RES, **kw) -> DataFrame:
@@ -187,20 +226,22 @@ def knn_join(
 
     qrows = {qid: C.rowcol_of(qlon, qlat, res) for qid, qlon, qlat in queries}
     need = {qid for qid, _, _ in queries}
-    radius = 0
-    sufficient_radius: dict[int, int] = {}
     counts: dict[int, int] = {qid: 0 for qid in need}
-    cand_cells: dict[int, list[np.ndarray]] = {qid: [] for qid in need}
-
-    while need and radius < max_rings:
+    sufficient_radius: dict[int, int] = {}
+    # expand radii in geometrically-growing bands: one Spark job per
+    # band instead of per ring, so sparse regions cost O(log R) jobs
+    band_start, band_size = 0, 1
+    radius = 0
+    while need and band_start < max_rings:
+        band_end = min(band_start + band_size, max_rings)
         ring_rows = []
         for qid in need:
             r, c = qrows[qid]
-            ring = C.ring(int(r), int(c), radius, res)
-            if ring.size:
-                ids = C.cell_id_from_rowcol(ring[:, 0], ring[:, 1], res)
-                cand_cells[qid].append(ids)
-                ring_rows.extend((qid, int(i)) for i in ids)
+            for rad in range(band_start, band_end):
+                ring = C.ring(int(r), int(c), rad, res)
+                if ring.size:
+                    ids = C.cell_id_from_rowcol(ring[:, 0], ring[:, 1], res)
+                    ring_rows.extend((qid, int(i)) for i in ids)
         if ring_rows:
             ring_df = spark.createDataFrame(ring_rows, "query_id long, cell_id long")
             got = (
@@ -213,9 +254,10 @@ def knn_join(
                 counts[row["query_id"]] += row["n"]
         done = {qid for qid in need if counts[qid] >= k}
         for qid in done:
-            sufficient_radius[qid] = radius
+            sufficient_radius[qid] = band_end - 1
         need -= done
-        radius += 1
+        band_start, band_size = band_end, band_size * 2
+        radius = band_start
 
     # guarantee: expand each query's disk so it covers its k-th distance
     # upper bound ((R+1) rings cover distance R*min_side at least)

@@ -144,25 +144,28 @@ def rasterize(
     parts: list[DataFrame] = []
 
     if poly_entries:
-        bcast = spark.sparkContext.broadcast(rings_by_sid)
+        from rasterio_spark.grid.geometry import FlatPolygons
+
+        flat_bc = spark.sparkContext.broadcast(FlatPolygons(rings_by_sid))
+        rings_bc = spark.sparkContext.broadcast(rings_by_sid)
         touch = all_touched
 
         @F.pandas_udf(BooleanType())
         def burn_test(sid_s: pd.Series, row_s: pd.Series, col_s: pd.Series) -> pd.Series:
-            by_sid = bcast.value
-            out = np.zeros(len(sid_s), dtype=bool)
             sids = sid_s.values
             rr = row_s.values.astype("float64")
             cc = col_s.values.astype("float64")
+            if not touch:
+                # center rule: one flat vectorized PIP pass
+                return pd.Series(flat_bc.value.contains(sids, cc + 0.5, rr + 0.5))
+            by_sid = rings_bc.value
+            out = np.zeros(len(sids), dtype=bool)
             for s in pd.unique(sids):
                 rings = by_sid.get(s)
                 if rings is None:
                     continue
                 m = sids == s
-                if touch:
-                    out[m] = cells_touched_by_polygon(rr[m], cc[m], rings)
-                else:
-                    out[m] = points_in_rings(cc[m] + 0.5, rr[m] + 0.5, rings)
+                out[m] = cells_touched_by_polygon(rr[m], cc[m], rings)
             return pd.Series(out)
 
         cand = spark.createDataFrame(

@@ -1,0 +1,309 @@
+"""shapes / sieve — raster -> vector via distributed connected
+components (SURVEY.md §2.3; reference /root/reference/rasterio/features.py:88-197
++ _features.pyx:35-300).
+
+Reference semantics mirrored:
+- regions = maximal sets of same-value valid cells connected under 4-
+  or 8-connectivity (GDALPolygonize / GDALSieveFilter);
+- ``shapes`` streams (geometry, value) per region — here the geometry
+  is the exact rectilinear boundary (exterior + hole rings) traced from
+  the region's cells, as GeoJSON-style nested lists;
+- ``sieve`` removes regions smaller than ``size`` cells, replacing them
+  with the value of the neighboring region with the largest shared
+  border (ties -> smaller label), like GDALSieveFilter.
+
+Scale design (SURVEY.md §7.3 #3): one ``applyInPandas`` pass computes
+per-tile local components with an array-based union-find (no per-row
+Python); only tile-boundary adjacencies (O(perimeter), not O(area))
+leave the executors; the driver unions the tiny cross-tile edge graph
+and broadcasts the relabel map. Exactly one shuffle over the cells.
+Labels are deterministic: the minimum cell key (row * 2^32 + col) of
+the component.
+"""
+
+from __future__ import annotations
+
+import numpy as np
+import pandas as pd
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+KEY_SHIFT = 32  # cell key = (row << 32) | col — fits int64 for grids < 2^31
+
+
+class _UnionFind:
+    """Array-less union-find over arbitrary int64 keys, min-root rule."""
+
+    __slots__ = ("parent",)
+
+    def __init__(self):
+        self.parent: dict[int, int] = {}
+
+    def find(self, x: int) -> int:
+        p = self.parent
+        root = x
+        while p.get(root, root) != root:
+            root = p[root]
+        while p.get(x, x) != x:
+            p[x], x = root, p[x]
+        return root
+
+    def union(self, a: int, b: int) -> None:
+        ra, rb = self.find(a), self.find(b)
+        if ra == rb:
+            return
+        lo, hi = (ra, rb) if ra < rb else (rb, ra)
+        self.parent[hi] = lo
+
+
+def _local_components(pdf: pd.DataFrame, connectivity: int) -> pd.DataFrame:
+    """Vectorized per-tile union-find: same-value 4/8-neighbors."""
+    rows = pdf["row"].values.astype(np.int64)
+    cols = pdf["col"].values.astype(np.int64)
+    vals = pdf["value"].values
+    keys = (rows << KEY_SHIFT) | cols
+    order = np.argsort(keys)
+    rows, cols, vals, keys = rows[order], cols[order], vals[order], keys[order]
+
+    # neighbor offsets (only "forward" ones; unions are symmetric)
+    offsets = [(0, 1), (1, 0)]
+    if connectivity == 8:
+        offsets += [(1, 1), (1, -1)]
+
+    # label indices via union-find over array positions
+    parent = np.arange(len(keys), dtype=np.int64)
+
+    def find(i):
+        root = i
+        while parent[root] != root:
+            root = parent[root]
+        while parent[i] != i:
+            parent[i], i = root, parent[i]
+        return root
+
+    key_to_pos = {int(k): i for i, k in enumerate(keys)}
+    for dr, dc in offsets:
+        nkeys = ((rows + dr) << KEY_SHIFT) | (cols + dc)
+        for i, nk in enumerate(nkeys):
+            j = key_to_pos.get(int(nk))
+            if j is not None and vals[i] == vals[j]:
+                ri, rj = find(i), find(j)
+                if ri != rj:
+                    if ri < rj:
+                        parent[rj] = ri
+                    else:
+                        parent[ri] = rj
+    roots = np.array([find(i) for i in range(len(keys))], dtype=np.int64)
+    labels = keys[roots]  # min cell key in local component (root has min pos -> min key)
+    return pd.DataFrame(
+        {"row": rows, "col": cols, "value": vals, "label": labels}
+    )
+
+
+def connected_components(
+    cells: DataFrame,
+    connectivity: int = 4,
+    tile_shape: tuple[int, int] = (256, 256),
+) -> DataFrame:
+    """(row, col, value, label) with globally-consistent component labels.
+
+    Input: (row, col, value, valid) single band; invalid cells are not
+    labeled (excluded), mirroring shapes' mask semantics
+    (features.py:124-129).
+    """
+    spark = cells.sparkSession
+    th, tw = tile_shape
+    src = cells.where(F.col("valid")).select("row", "col", "value")
+    tiled = src.withColumn("_ti", F.expr(f"row DIV {th}")).withColumn(
+        "_tj", F.expr(f"col DIV {tw}")
+    )
+
+    def per_tile(pdf: pd.DataFrame) -> pd.DataFrame:
+        return _local_components(pdf, connectivity)
+
+    local = tiled.groupBy("_ti", "_tj").applyInPandas(
+        per_tile, schema="row long, col long, value double, label long"
+    )
+    local = local.persist()
+
+    # boundary cells: at any tile edge (their neighbors may be in another tile)
+    on_edge = (
+        (F.col("row") % th == 0)
+        | (F.col("row") % th == th - 1)
+        | (F.col("col") % tw == 0)
+        | (F.col("col") % tw == tw - 1)
+    )
+    edge_cells = local.where(on_edge).select("row", "col", "value", "label")
+
+    offsets = [(0, 1), (1, 0)] + ([(1, 1), (1, -1)] if connectivity == 8 else [])
+    a = edge_cells.alias("a")
+    b = edge_cells.alias("b")
+    pair_frames = []
+    for dr, dc in offsets:
+        cross_tile = F.expr(f"(a.row DIV {th}) != (b.row DIV {th})") | F.expr(
+            f"(a.col DIV {tw}) != (b.col DIV {tw})"
+        )
+        pair_frames.append(
+            a.join(
+                b,
+                (F.col("b.row") == F.col("a.row") + dr)
+                & (F.col("b.col") == F.col("a.col") + dc)
+                & (F.col("a.value") == F.col("b.value"))
+                & cross_tile,
+            ).select(F.col("a.label").alias("la"), F.col("b.label").alias("lb"))
+        )
+    pairs = pair_frames[0]
+    for pf in pair_frames[1:]:
+        pairs = pairs.unionByName(pf)
+    edges = pairs.distinct().collect()  # O(cross-tile components), small
+
+    uf = _UnionFind()
+    for e in edges:
+        uf.union(e["la"], e["lb"])
+    mapping = {}
+    for e in edges:
+        for l in (e["la"], e["lb"]):
+            r = uf.find(l)
+            if r != l:
+                mapping[l] = r
+    if not mapping:
+        return local.select("row", "col", "value", "label")
+    map_df = spark.createDataFrame(list(mapping.items()), "label long, root long")
+    out = local.join(F.broadcast(map_df), "label", "left").select(
+        "row", "col", "value", F.coalesce("root", "label").alias("label")
+    )
+    return out
+
+
+def shapes_summary(cells: DataFrame, connectivity: int = 4) -> DataFrame:
+    """(label, value, n_cells, min_row, min_col, max_row, max_col) per
+    region — the relational face of shapes()."""
+    cc = connected_components(cells, connectivity)
+    return cc.groupBy("label", "value").agg(
+        F.count(F.lit(1)).alias("n_cells"),
+        F.min("row").alias("min_row"),
+        F.min("col").alias("min_col"),
+        F.max("row").alias("max_row"),
+        F.max("col").alias("max_col"),
+    )
+
+
+def _trace_rings(rows: np.ndarray, cols: np.ndarray) -> list[list[tuple[float, float]]]:
+    """Exact rectilinear boundary of a cell set: edge-cancellation +
+    ring walking. Returns rings as (x, y) lists; first ring is the
+    exterior (largest area), the rest are holes."""
+    cell_set = set(zip(rows.tolist(), cols.tolist()))
+    # boundary edges as directed segments, region kept to the left:
+    # top edge -> rightward, right -> down, bottom -> leftward, left -> up
+    segs: dict[tuple[int, int], list[tuple[int, int]]] = {}
+
+    def add(p, q):
+        segs.setdefault(p, []).append(q)
+
+    for r, c in cell_set:
+        if (r - 1, c) not in cell_set:
+            add((c, r), (c + 1, r))
+        if (r, c + 1) not in cell_set:
+            add((c + 1, r), (c + 1, r + 1))
+        if (r + 1, c) not in cell_set:
+            add((c + 1, r + 1), (c, r + 1))
+        if (r, c - 1) not in cell_set:
+            add((c, r + 1), (c, r))
+    rings = []
+    while segs:
+        start = min(segs)
+        ring = [start]
+        cur = start
+        prev_dir = None
+        while True:
+            nxts = segs[cur]
+            # prefer the left-most turn for consistent hole separation
+            nxt = nxts.pop()
+            if not nxts:
+                del segs[cur]
+            ring.append(nxt)
+            cur = nxt
+            if cur == start:
+                break
+        rings.append([(float(x), float(y)) for x, y in ring])
+
+    def area(ring):
+        s = 0.0
+        for (x0, y0), (x1, y1) in zip(ring[:-1], ring[1:]):
+            s += x0 * y1 - x1 * y0
+        return abs(s) / 2.0
+
+    rings.sort(key=area, reverse=True)
+    return rings
+
+
+def shapes(cells: DataFrame, connectivity: int = 4) -> DataFrame:
+    """(label, value, geometry_json): exact region polygons — the
+    engine's features.shapes. Ring tracing runs per component inside
+    applyInPandas (one task per component batch)."""
+    import json
+
+    cc = connected_components(cells, connectivity)
+
+    def trace(pdf: pd.DataFrame) -> pd.DataFrame:
+        out = []
+        for label, grp in pdf.groupby("label"):
+            rings = _trace_rings(grp["row"].values.astype(np.int64), grp["col"].values.astype(np.int64))
+            geom = {"type": "Polygon", "coordinates": [[list(p) for p in ring] for ring in rings]}
+            out.append((int(label), float(grp["value"].iloc[0]), json.dumps(geom)))
+        return pd.DataFrame(out, columns=["label", "value", "geometry_json"])
+
+    return cc.groupBy("label").applyInPandas(
+        trace, schema="label long, value double, geometry_json string"
+    )
+
+
+def sieve(cells: DataFrame, size: int, connectivity: int = 4) -> DataFrame:
+    """Remove regions smaller than ``size`` cells, replacing their value
+    with that of the neighboring region sharing the longest border
+    (GDALSieveFilter rule; reference features.py:146-197). Regions with
+    no neighbor keep their value. Returns (row, col, value, valid)."""
+    cc = connected_components(cells, connectivity).persist()
+    sizes = cc.groupBy("label").agg(F.count(F.lit(1)).alias("n"))
+    cc2 = cc.join(F.broadcast(sizes), "label")
+    small = cc2.where(F.col("n") < size).select("row", "col", "label")
+    big = cc2.where(F.col("n") >= size).select(
+        "row", "col", F.col("label").alias("nlabel"), F.col("value").alias("nvalue")
+    )
+    offsets = [(0, 1), (0, -1), (1, 0), (-1, 0)]
+    if connectivity == 8:
+        offsets += [(1, 1), (1, -1), (-1, 1), (-1, -1)]
+    adj_frames = []
+    for dr, dc in offsets:
+        adj_frames.append(
+            small.alias("s")
+            .join(
+                big.alias("g"),
+                (F.col("g.row") == F.col("s.row") + dr)
+                & (F.col("g.col") == F.col("s.col") + dc),
+            )
+            .select(F.col("s.label").alias("label"), "nlabel", "nvalue")
+        )
+    adj = adj_frames[0]
+    for af in adj_frames[1:]:
+        adj = adj.unionByName(af)
+    votes = adj.groupBy("label", "nlabel", "nvalue").agg(F.count(F.lit(1)).alias("shared"))
+    from pyspark.sql import Window as W
+
+    w = W.partitionBy("label").orderBy(F.col("shared").desc(), F.col("nlabel").asc())
+    repl = (
+        votes.withColumn("_rk", F.row_number().over(w))
+        .where(F.col("_rk") == 1)
+        .select("label", F.col("nvalue").alias("new_value"))
+    )
+    out = cc2.join(F.broadcast(repl), "label", "left").select(
+        "row",
+        "col",
+        F.when(
+            (F.col("n") < size) & F.col("new_value").isNotNull(), F.col("new_value")
+        )
+        .otherwise(F.col("value"))
+        .alias("value"),
+        F.lit(True).alias("valid"),
+    )
+    return out

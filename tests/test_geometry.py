@@ -115,6 +115,42 @@ def test_pip_empty_points():
     assert points_in_rings(np.array([]), np.array([]), polygon_rings(BASIC_GEOMETRY)).size == 0
 
 
+def test_flat_polygons_matches_points_in_rings():
+    from rasterio_spark.grid.geometry import FlatPolygons
+
+    rng = np.random.default_rng(3)
+    rings_by_id = {}
+    for pid in range(20):
+        cx, cy = rng.uniform(-50, 50, 2)
+        nv = int(rng.integers(5, 12))
+        ang = np.sort(rng.uniform(0, 2 * np.pi, nv))
+        rad = rng.uniform(1, 8, nv)
+        ring = np.stack([cx + rad * np.cos(ang), cy + rad * np.sin(ang)], axis=1)
+        ring = np.vstack([ring, ring[:1]])
+        rings_by_id[pid] = [ring]
+    # one polygon with a hole
+    donut_outer = np.array([(0, 0), (0, 10), (10, 10), (10, 0), (0, 0)], dtype="float64")
+    donut_hole = np.array([(3, 3), (3, 7), (7, 7), (7, 3), (3, 3)], dtype="float64")
+    rings_by_id[99] = [donut_outer, donut_hole]
+
+    flat = FlatPolygons(rings_by_id)
+    n = 500
+    px = rng.uniform(-60, 60, n)
+    py = rng.uniform(-60, 60, n)
+    pid = rng.choice(list(rings_by_id.keys()), n)
+    got = flat.contains(pid, px, py)
+    expected = np.array(
+        [
+            points_in_rings(px[i : i + 1], py[i : i + 1], rings_by_id[int(pid[i])])[0]
+            for i in range(n)
+        ]
+    )
+    np.testing.assert_array_equal(got, expected)
+    # unknown polygon id -> False
+    assert not flat.contains(np.array([12345]), np.array([0.0]), np.array([0.0]))[0]
+    assert flat.contains(np.zeros(0, dtype=np.int64), np.zeros(0), np.zeros(0)).size == 0
+
+
 def test_strtree_query():
     rng = np.random.default_rng(42)
     boxes = np.zeros((100, 4))
