@@ -26,15 +26,18 @@ def make_pip_udf(flat_bcast):
     """
 
     @F.pandas_udf(BooleanType())
-    def pip(polygon_id: pd.Series, x: pd.Series, y: pd.Series) -> pd.Series:
+    def pip(polygon_id: pd.Series, x: pd.Series, y: pd.Series, interior: pd.Series) -> pd.Series:
         flat = flat_bcast.value
-        return pd.Series(
-            flat.contains(
-                polygon_id.values,
-                x.values.astype("float64"),
-                y.values.astype("float64"),
+        known = interior.values.astype(bool)
+        out = known.copy()  # interior cells are inside by construction
+        m = ~known
+        if m.any():
+            out[m] = flat.contains(
+                polygon_id.values[m],
+                x.values[m].astype("float64"),
+                y.values[m].astype("float64"),
             )
-        )
+        return pd.Series(out)
 
     return pip
 

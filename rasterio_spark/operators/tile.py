@@ -33,6 +33,7 @@ def tile_pages(
     res: int = DEFAULT_RES,
     tile_shape: tuple[int, int] = DEFAULT_TILE_SHAPE,
     skew: bool = False,
+    geocode: str = "sha2",
 ) -> DataFrame:
     """pages -> pages + (lon, lat, row, col, cell_id, tile_i, tile_j).
 
@@ -41,7 +42,7 @@ def tile_pages(
     (integer div). ``.explain()`` shows one WholeStageCodegen span and
     zero exchanges.
     """
-    geo = with_geocode(pages, skew=skew)
+    geo = with_geocode(pages, skew=skew, method=geocode)
     row, col = CE.rowcol_cols(F.col("lon"), F.col("lat"), res)
     bh, bw = tile_shape
     out = (

@@ -97,26 +97,40 @@ def _page_index_expr():
     return F.element_at(F.split(F.col("url"), "/"), -1).cast("long")
 
 
-def with_geocode(pages: DataFrame, skew: bool = False) -> DataFrame:
+def with_geocode(pages: DataFrame, skew: bool = False, method: str = "sha2") -> DataFrame:
     """Attach deterministic (lon, lat) to any pages table.
 
+    method='sha2' (default, oracle-parity — DuckDB computes the same):
     lon = int(sha2(url)[9:13], 16) / 0xFFFF * 360 - 180
     lat = int(sha2(url)[13:17], 16) / 0xFFFF * 170 - 85     (FIXTURES.md §1)
 
-    With ``skew=True``, pages whose index i = i(url) has i % 5 == 0 are
-    snapped into HOT_BOXES[i % 3] + a within-box fraction — the physical
-    partitioning stressor for salting (north_rule). Tile assignment
-    stays a pure function of (lon, lat) either way.
+    method='xxh64' (production geocoder): same uniform distribution from
+    one xxhash64(url) call — Spark's MessageDigest-free hash, which
+    scales linearly with cores (sha2 measured ~2x for 4x threads due to
+    JVM digest allocation). Not DuckDB-reproducible; used by benches.
+
+    With ``skew=True``, ~20% of pages (u16 % 5 == 0 on the already-
+    computed hash halfword — no extra parsing on the hot path) are
+    snapped into HOT_BOXES[v16 % 3] + a within-box fraction — the
+    physical partitioning stressor for salting (north_rule, FIXTURES.md
+    Zipf variant). Tile assignment stays a pure function of (lon, lat)
+    either way.
     """
-    h = F.sha2(F.col("url"), 256)
-    u16 = _hex2long(F.substring(h, 10, 4))  # hexdigest[9:13], 1-indexed substr
-    v16 = _hex2long(F.substring(h, 14, 4))  # hexdigest[13:17]
+    if method == "sha2":
+        h = F.sha2(F.col("url"), 256)
+        u16 = _hex2long(F.substring(h, 10, 4))  # hexdigest[9:13], 1-indexed substr
+        v16 = _hex2long(F.substring(h, 14, 4))  # hexdigest[13:17]
+    elif method == "xxh64":
+        hx = F.xxhash64(F.col("url"))
+        u16 = F.pmod(hx, F.lit(65536))
+        v16 = F.pmod(F.shiftright(hx, 16), F.lit(65536))
+    else:
+        raise ValueError(f"unknown geocode method {method!r}")
     lon = u16 / 65535.0 * 360.0 - 180.0
     lat = v16 / 65535.0 * 170.0 - 85.0
     if skew:
-        i = _page_index_expr()
-        hot = i % 5 == 0
-        box = (i % 3).cast("int")
+        hot = u16 % 5 == 0
+        box = (v16 % 3).cast("int")
         box_lon = F.element_at(F.array(*[F.lit(b[0]) for b in HOT_BOXES]), box + 1)
         box_lat = F.element_at(F.array(*[F.lit(b[1]) for b in HOT_BOXES]), box + 1)
         lon = F.when(hot, box_lon + u16 / 65536.0).otherwise(lon)
