@@ -415,6 +415,36 @@ def q_streaming_tile_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
     return out.where(F.col("window_start") <= F.lit(cutoff))
 
 
+def q_merge_sources_golden(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Full merge driver (union grid + win_align placement) on the
+    reference's three-raster fixture, method=sum (test_merge.py:59-116)."""
+    from rasterio_spark.grid.affine import Affine
+    from rasterio_spark.operators.merge import merge_sources
+    from rasterio_spark.sources.layers import LayerDescriptor
+
+    def const_layer(transform, fill, size=10):
+        desc = LayerDescriptor(
+            width=size, height=size, count=1, dtype="uint8",
+            crs="EPSG:4326", transform=transform, nodata=0.0,
+        )
+        cells = spark.range(0, size * size).select(
+            F.lit(1).alias("band"),
+            F.expr(f"CAST(id DIV {size} AS INT)").alias("row"),
+            (F.col("id") % size).cast("int").alias("col"),
+            F.lit(float(fill)).alias("value"),
+            F.lit(True).alias("valid"),
+        )
+        return desc, cells
+
+    nw = Affine(0.2, 0.0, -114.0, 0.0, -0.2, 46.0)
+    se = Affine(0.2, 0.0, -113.0, 0.0, -0.2, 45.0)
+    return merge_sources(
+        [const_layer(nw, 1), const_layer(nw, 3), const_layer(se, 2)],
+        method="sum",
+        dense=True,
+    )
+
+
 def q_fillnodata(spark: SparkSession, sf_dir: str) -> DataFrame:
     from rasterio_spark.operators.fill import fillnodata
 
@@ -487,6 +517,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "sieve": q_sieve,
         "calc": q_calc,
         "streaming_tile_counts": q_streaming_tile_counts,
+        "merge_sources_golden": q_merge_sources_golden,
     }
     for m in ("first", "last", "min", "max", "sum", "count"):
         qs[f"merge_{m}"] = _merge_query(m)
@@ -694,6 +725,26 @@ def oracle_sql() -> dict[str, str]:
     from rasterio_spark.operators.fill import fillnodata_sql
 
     sqls["fillnodata"] = f"{_cells_cte()}, {fillnodata_sql(2)}"
+
+    sqls["merge_sources_golden"] = """
+        WITH layers AS (
+          SELECT r.range AS row, c.range AS col, 1.0 AS v
+          FROM range(0, 10) r, range(0, 10) c
+          UNION ALL
+          SELECT r.range, c.range, 3.0 FROM range(0, 10) r, range(0, 10) c
+          UNION ALL
+          SELECT r.range + 5, c.range + 5, 2.0 FROM range(0, 10) r, range(0, 10) c
+        ),
+        summed AS (
+          SELECT row, col, sum(v) AS v FROM layers GROUP BY 1, 2
+        )
+        SELECT 1 AS band,
+               CAST(d.row AS INTEGER) AS row, CAST(d.col AS INTEGER) AS col,
+               COALESCE(s.v, 0.0) AS value
+        FROM (SELECT r.range AS row, c.range AS col
+              FROM range(0, 15) r, range(0, 15) c) d
+        LEFT JOIN summed s ON s.row = d.row AND s.col = d.col
+    """
 
     from rasterio_spark.operators.calc import calc_sql
 

@@ -91,6 +91,104 @@ def merge_sql(method: str, layers_sql: str) -> str:
     """
 
 
+def merge_sources(
+    sources: list[tuple],
+    method: str = "first",
+    nodata: float = 0.0,
+    bounds: tuple | None = None,
+    res: tuple | None = None,
+    dense: bool = False,
+) -> DataFrame:
+    """Full rasterio.merge driver semantics over georeferenced sources
+    (reference merge.py:98-517): each source is (LayerDescriptor,
+    cells_df); the output grid is the union extent (or given bounds) at
+    the first/finest resolution; every source's cells are placed via
+    the from_bounds + win_align offset rule (merge.py:441-457) and
+    composited with the chosen method.
+
+    Differences from the chunked reference: Spark partitioning replaces
+    the mem_limit subdivide loop; compositing is ONE groupBy. Rotated
+    transforms are refused, like the reference (merge.py:302-313).
+    """
+    from rasterio_spark.grid import windows as WIN
+    from rasterio_spark.grid.transform import array_bounds, from_origin
+
+    if not sources:
+        raise ValueError("merge_sources needs at least one source")
+    descs = [d for d, _ in sources]
+    for d in descs:
+        if d.transform.b != 0 or d.transform.d != 0:
+            raise ValueError("rotated transforms are not supported by merge")
+
+    if bounds is None:
+        boxes = [array_bounds(d.height, d.width, d.transform) for d in descs]
+        dst_w = min(b[0] for b in boxes)
+        dst_s = min(b[1] for b in boxes)
+        dst_e = max(b[2] for b in boxes)
+        dst_n = max(b[3] for b in boxes)
+    else:
+        dst_w, dst_s, dst_e, dst_n = bounds
+    if res is None:
+        first = descs[0].transform
+        xres, yres = first.a, -first.e
+    else:
+        xres, yres = res
+    import math
+
+    out_width = int(math.ceil((dst_e - dst_w) / xres))
+    out_height = int(math.ceil((dst_n - dst_s) / yres))
+    out_transform = from_origin(dst_w, dst_n, xres, yres)
+
+    placed = []
+    for idx, (d, cells) in enumerate(sources):
+        sb = array_bounds(d.height, d.width, d.transform)
+        try:
+            iw = (max(sb[0], dst_w), max(sb[1], dst_s), min(sb[2], dst_e), min(sb[3], dst_n))
+            if iw[2] <= iw[0] or iw[3] <= iw[1]:
+                continue  # disjoint source skipped (merge.py:471-475)
+            sw = WIN.from_bounds(*iw, d.transform)
+            cw = WIN.from_bounds(*iw, out_transform)
+        except WIN.WindowError:
+            continue
+        sw = WIN.win_align(sw)
+        cw = WIN.win_align(cw)
+        roff = int(cw.row_off - sw.row_off)
+        coff = int(cw.col_off - sw.col_off)
+        placed.append(
+            cells.select(
+                F.lit(idx).alias("src_idx"),
+                "band",
+                (F.col("row") + F.lit(roff)).cast("int").alias("row"),
+                (F.col("col") + F.lit(coff)).cast("int").alias("col"),
+                "value",
+                "valid",
+            ).where(
+                (F.col("row") >= 0)
+                & (F.col("row") < out_height)
+                & (F.col("col") >= 0)
+                & (F.col("col") < out_width)
+            )
+        )
+    if not placed:
+        raise ValueError("no sources intersect the output bounds")
+    layers = placed[0]
+    for p in placed[1:]:
+        layers = layers.unionByName(p)
+    merged = merge(layers, method=method, nodata=nodata)
+    if not dense:
+        return merged
+    spark = merged.sparkSession
+    dom = (
+        spark.range(0, out_height)
+        .select(F.col("id").cast("int").alias("row"))
+        .withColumn("col", F.explode(F.sequence(F.lit(0), F.lit(out_width - 1))))
+        .withColumn("band", F.lit(1))
+    )
+    return dom.join(merged, ["band", "row", "col"], "left").select(
+        "band", "row", "col", F.coalesce("value", F.lit(nodata)).alias("value")
+    )
+
+
 def stack(layer_dfs: list[DataFrame]) -> DataFrame:
     """Concatenate sources as consecutive bands on a common grid —
     rasterio.stack semantics (/root/reference/rasterio/stack.py:26-362):
