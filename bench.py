@@ -118,10 +118,9 @@ def run_suite(spark, sf_dir: str, n: int) -> dict[str, float]:
     from rasterio_spark.operators.tile import cell_histogram, tile_counts
     from rasterio_spark.operators.warp import downsample
     from rasterio_spark.operators.window_read import read_boundless
-    from rasterio_spark.sources.pages import synth_pages
     from rasterio_spark.sources.polygons import rect_polygons, synth_polygons
 
-    pages = synth_pages(spark, n)
+    pages = spark.read.parquet(ensure_pages(spark, n))
     # big synthetic cell grid (~2n cells) for raster ops
     grid_w = 1024
     cells = spark.range(0, 2 * n).select(
