@@ -105,9 +105,12 @@ def cell_center(row, col, res: int):
     return lon, lat
 
 
-def ring(row: int, col: int, k: int, res: int) -> np.ndarray:
+def ring(row: int, col: int, k: int, res: int, wrap: bool = True) -> np.ndarray:
     """Cells at Chebyshev distance exactly ``k`` from (row, col):
-    (n, 2) int64 array. Wraps in longitude (col mod nx), clamps rows.
+    (n, 2) int64 array. Wraps in longitude (col mod nx) when ``wrap``,
+    else clips columns like rows — use wrap=False when the downstream
+    distance metric is planar (non-wrapped) lon/lat, so the candidate
+    topology matches the ranking metric.
 
     k = 0 returns the cell itself. The kNN operator expands k = 0, 1, 2...
     until enough neighbors are found.
@@ -128,14 +131,17 @@ def ring(row: int, col: int, k: int, res: int) -> np.ndarray:
             rs.append(rr)
             cs.append(np.full(rr.shape, c, dtype=np.int64))
         cells = np.stack([np.concatenate(rs), np.concatenate(cs)], axis=1)
-    cells[:, 1] %= nx  # longitude wrap
     keep = (cells[:, 0] >= 0) & (cells[:, 0] < ny)  # latitude clamp
+    if wrap:
+        cells[:, 1] %= nx  # longitude wrap
+    else:
+        keep &= (cells[:, 1] >= 0) & (cells[:, 1] < nx)
     return cells[keep]
 
 
-def disk(row: int, col: int, k: int, res: int) -> np.ndarray:
+def disk(row: int, col: int, k: int, res: int, wrap: bool = True) -> np.ndarray:
     """All cells with Chebyshev distance <= k (the filled ring)."""
-    parts = [ring(row, col, i, res) for i in range(k + 1)]
+    parts = [ring(row, col, i, res, wrap=wrap) for i in range(k + 1)]
     return np.unique(np.concatenate(parts), axis=0)
 
 

@@ -103,9 +103,18 @@ def _layer_index(spark, polygons: list[dict], cover_res: int):
     import hashlib
     import json as _json
 
+    # the key must cover the full geometry, not just ids/values — two
+    # layers with identical ids but different rings must not collide
     key = (
         hashlib.sha256(
-            _json.dumps([(p["polygon_id"], p.get("value")) for p in polygons]).encode()
+            _json.dumps(
+                [
+                    (p["polygon_id"], p.get("value"), p.get("geom"))
+                    for p in polygons
+                ],
+                sort_keys=True,
+                default=list,
+            ).encode()
         ).hexdigest(),
         len(polygons),
         cover_res,
@@ -279,9 +288,32 @@ def knn_join(
     cell_h = C.LAT_SPAN / ny
     min_side = min(cell_w, cell_h)
 
-    tiled = tile_pages(pages, res=res).select("url", "lon", "lat", "cell_id").cache()
-
     qrows = {qid: C.rowcol_of(qlon, qlat, res) for qid, qlon, qlat in queries}
+
+    # cache ONLY the pages inside the maximal search area (union of the
+    # max_rings disks), not the whole table: at 100 TB the semi-join
+    # against the broadcast cell list prunes the scan to O(search area)
+    # and the cache holds the candidate subset every band job reuses.
+    # The expansion is non-wrapping (wrap=False) so the candidate
+    # topology matches the planar dist2 ranking metric below.
+    max_ids = np.unique(
+        np.concatenate(
+            [
+                C.cell_id_from_rowcol(d[:, 0], d[:, 1], res)
+                for d in (
+                    C.disk(int(r), int(c), max_rings, res, wrap=False)
+                    for r, c in qrows.values()
+                )
+            ]
+        )
+    )
+    max_df = spark.createDataFrame([(int(i),) for i in max_ids], "cell_id long")
+    tiled = (
+        tile_pages(pages, res=res)
+        .select("url", "lon", "lat", "cell_id")
+        .join(F.broadcast(max_df), "cell_id", "left_semi")
+        .cache()
+    )
     need = {qid for qid, _, _ in queries}
     counts: dict[int, int] = {qid: 0 for qid in need}
     sufficient_radius: dict[int, int] = {}
@@ -295,7 +327,7 @@ def knn_join(
         for qid in need:
             r, c = qrows[qid]
             for rad in range(band_start, band_end):
-                ring = C.ring(int(r), int(c), rad, res)
+                ring = C.ring(int(r), int(c), rad, res, wrap=False)
                 if ring.size:
                     ids = C.cell_id_from_rowcol(ring[:, 0], ring[:, 1], res)
                     ring_rows.extend((qid, int(i)) for i in ids)
@@ -325,7 +357,7 @@ def knn_join(
         # distance to any point in ring base_r is at most (base_r+1) * max diag
         max_d = (base_r + 1) * float(np.hypot(cell_w, cell_h))
         safe_r = int(np.ceil(max_d / min_side)) + 1
-        disk = C.disk(int(r), int(c), min(safe_r, max_rings), res)
+        disk = C.disk(int(r), int(c), min(safe_r, max_rings), res, wrap=False)
         ids = C.cell_id_from_rowcol(disk[:, 0], disk[:, 1], res)
         final_rows.extend((int(qid), int(i)) for i in np.unique(ids))
     cells_df = spark.createDataFrame(final_rows, "query_id long, cell_id long")

@@ -109,6 +109,10 @@ def merge_sources(
     Differences from the chunked reference: Spark partitioning replaces
     the mem_limit subdivide loop; compositing is ONE groupBy. Rotated
     transforms are refused, like the reference (merge.py:302-313).
+    Mixed-resolution sources are nearest-resampled onto the output grid
+    (the reference's out_shape read, merge.py:488-494) via an inverse-
+    mapping gather; equal-resolution sources take the integer-offset
+    fast path.
     """
     from rasterio_spark.grid import windows as WIN
     from rasterio_spark.grid.transform import array_bounds, from_origin
@@ -152,23 +156,68 @@ def merge_sources(
             continue
         sw = WIN.win_align(sw)
         cw = WIN.win_align(cw)
-        roff = int(cw.row_off - sw.row_off)
-        coff = int(cw.col_off - sw.col_off)
-        placed.append(
-            cells.select(
-                F.lit(idx).alias("src_idx"),
+        same_res = (
+            abs(d.transform.a - xres) < 1e-12 and abs(-d.transform.e - yres) < 1e-12
+        )
+        if same_res:
+            # equal-resolution fast path: pure integer offset, no
+            # per-cell resampling (the common case — one narrow select)
+            roff = int(cw.row_off - sw.row_off)
+            coff = int(cw.col_off - sw.col_off)
+            placed.append(
+                cells.select(
+                    F.lit(idx).alias("src_idx"),
+                    "band",
+                    (F.col("row") + F.lit(roff)).cast("int").alias("row"),
+                    (F.col("col") + F.lit(coff)).cast("int").alias("col"),
+                    "value",
+                    "valid",
+                ).where(
+                    (F.col("row") >= 0)
+                    & (F.col("row") < out_height)
+                    & (F.col("col") >= 0)
+                    & (F.col("col") < out_width)
+                )
+            )
+        else:
+            # mixed-resolution source: the reference reads each source
+            # with out_shape=(cw.height, cw.width), i.e. nearest-
+            # resamples onto the output grid (merge.py:488-494). Gather:
+            # generate the source's dst-window domain and fetch, per dst
+            # cell center, the containing src cell. Domain size is the
+            # source's output-grid footprint, so at scale it is O(output
+            # cells touched), never O(src cells x dst cells).
+            spark = cells.sparkSession
+            r0 = max(0, int(cw.row_off))
+            c0 = max(0, int(cw.col_off))
+            r1 = min(out_height, int(cw.row_off + cw.height))
+            c1 = min(out_width, int(cw.col_off + cw.width))
+            if r1 <= r0 or c1 <= c0:
+                continue
+            dom = (
+                spark.range(r0, r1)
+                .select(F.col("id").cast("int").alias("row"))
+                .withColumn("col", F.explode(F.sequence(F.lit(c0), F.lit(c1 - 1))))
+            )
+            x = F.lit(dst_w) + (F.col("col") + 0.5) * F.lit(xres)
+            y = F.lit(dst_n) - (F.col("row") + 0.5) * F.lit(yres)
+            dom = dom.withColumn(
+                "_sc", F.floor((x - F.lit(d.transform.c)) / F.lit(d.transform.a)).cast("int")
+            ).withColumn(
+                "_sr", F.floor((y - F.lit(d.transform.f)) / F.lit(d.transform.e)).cast("int")
+            )
+            src = cells.select(
                 "band",
-                (F.col("row") + F.lit(roff)).cast("int").alias("row"),
-                (F.col("col") + F.lit(coff)).cast("int").alias("col"),
+                F.col("row").alias("_sr"),
+                F.col("col").alias("_sc"),
                 "value",
                 "valid",
-            ).where(
-                (F.col("row") >= 0)
-                & (F.col("row") < out_height)
-                & (F.col("col") >= 0)
-                & (F.col("col") < out_width)
             )
-        )
+            placed.append(
+                dom.join(src, ["_sr", "_sc"]).select(
+                    F.lit(idx).alias("src_idx"), "band", "row", "col", "value", "valid"
+                )
+            )
     if not placed:
         raise ValueError("no sources intersect the output bounds")
     layers = placed[0]

@@ -258,11 +258,142 @@ def shapes(cells: DataFrame, connectivity: int = 4) -> DataFrame:
     )
 
 
-def sieve(cells: DataFrame, size: int, connectivity: int = 4) -> DataFrame:
-    """Remove regions smaller than ``size`` cells, replacing their value
-    with that of the neighboring region sharing the longest border
-    (GDALSieveFilter rule; reference features.py:146-197). Regions with
-    no neighbor keep their value. Returns (row, col, value, valid)."""
+def _sieve_region_graph(
+    regions: dict[int, tuple[float, int]], edges: list[tuple[int, int]], size: int
+) -> tuple[dict[int, int], dict[int, float]]:
+    """Iterative GDALSieveFilter merge over the region graph.
+
+    ``regions``: {label: (value, n_cells)}; ``edges``: adjacency pairs.
+    GDAL rule (reference features.py:146-197 -> GDALSieveFilter): every
+    polygon under the threshold merges into its LARGEST neighbor (which
+    may itself be small), iterating until no under-threshold region has
+    a neighbor. Determinism: passes process regions ascending
+    (n_cells, label); target ties break to the smaller label; when an
+    absorbed region bridges two same-value regions they fuse.
+
+    Returns ({label: final_root_label}, {root: final_value}).
+    """
+    parent = {l: l for l in regions}
+    val = {l: regions[l][0] for l in regions}
+    cnt = {l: regions[l][1] for l in regions}
+    adj: dict[int, set[int]] = {l: set() for l in regions}
+    for a, b in edges:
+        adj[a].add(b)
+        adj[b].add(a)
+
+    def find(x: int) -> int:
+        while parent[x] != x:
+            parent[x] = parent[parent[x]]
+            x = parent[x]
+        return x
+
+    def union_into(a: int, b: int) -> None:
+        """Absorb region a into b; b keeps its label and value."""
+        parent[a] = b
+        cnt[b] += cnt[a]
+        adj[b] |= adj.pop(a, set())
+
+    def live_neighbors(l: int) -> list[int]:
+        ns = {find(n) for n in adj.get(l, ())} - {l}
+        adj[l] = set(ns)  # compact stale entries
+        return sorted(ns)
+
+    changed = True
+    while changed:
+        changed = False
+        order = sorted(
+            (l for l in regions if find(l) == l and cnt[l] < size),
+            key=lambda l: (cnt[l], l),
+        )
+        for l in order:
+            if find(l) != l or cnt[l] >= size:
+                continue
+            nbrs = live_neighbors(l)
+            if not nbrs:
+                continue
+            tgt = max(nbrs, key=lambda n: (cnt[n], -n))
+            union_into(l, tgt)
+            changed = True
+            # the absorbed cells take tgt's value: any neighbor with the
+            # same value is now one connected polygon -> fuse (repeat
+            # until no same-value neighbor remains)
+            fused = True
+            while fused:
+                fused = False
+                for n in live_neighbors(tgt):
+                    if val[n] == val[tgt]:
+                        union_into(n, tgt)
+                        fused = True
+    root_of = {l: find(l) for l in regions}
+    return root_of, val
+
+
+def sieve(
+    cells: DataFrame, size: int, connectivity: int = 4, mode: str = "longest_border"
+) -> DataFrame:
+    """Remove regions smaller than ``size`` cells
+    (reference features.py:146-197 / GDALSieveFilter). Returns
+    (row, col, value, valid).
+
+    mode='longest_border' (default; documented engine divergence): ONE
+    distributed pass — each small region takes the value of the >= size
+    neighbor sharing the longest border (ties -> smaller label); small
+    regions with no qualifying neighbor keep their value, so clusters
+    of adjacent small regions that jointly exceed the threshold
+    survive. Fully SQL-expressible (the DuckDB oracle runs the same
+    rule) and fully distributed.
+
+    mode='gdal': GDAL parity — iterative merge into the LARGEST
+    neighbor polygon (which may itself be small) until stable, run on
+    the REGION GRAPH (labels, sizes, adjacency): O(#regions) driver
+    state, not O(#cells) — region graphs are perimeter-bounded, so this
+    is the per-AOI path at scale; the relabel map is broadcast back.
+    """
+    if mode == "gdal":
+        cc = connected_components(cells, connectivity).persist()
+        regions_pdf = (
+            cc.groupBy("label")
+            .agg(F.first("value").alias("value"), F.count(F.lit(1)).alias("n"))
+            .toPandas()
+        )
+        offsets = [(0, 1), (1, 0)] + ([(1, 1), (1, -1)] if connectivity == 8 else [])
+        a = cc.alias("a")
+        b = cc.alias("b")
+        edge_frames = []
+        for dr, dc in offsets:
+            edge_frames.append(
+                a.join(
+                    b,
+                    (F.col("b.row") == F.col("a.row") + dr)
+                    & (F.col("b.col") == F.col("a.col") + dc)
+                    & (F.col("a.label") != F.col("b.label")),
+                ).select(
+                    F.least(F.col("a.label"), F.col("b.label")).alias("la"),
+                    F.greatest(F.col("a.label"), F.col("b.label")).alias("lb"),
+                )
+            )
+        ef = edge_frames[0]
+        for x in edge_frames[1:]:
+            ef = ef.unionByName(x)
+        edges = [(r["la"], r["lb"]) for r in ef.distinct().collect()]
+        regions = {
+            int(r["label"]): (float(r["value"]), int(r["n"]))
+            for _, r in regions_pdf.iterrows()
+        }
+        root_of, val = _sieve_region_graph(regions, edges, size)
+        spark = cells.sparkSession
+        map_df = spark.createDataFrame(
+            [(l, float(val[r])) for l, r in root_of.items()],
+            "label long, new_value double",
+        )
+        return cc.join(F.broadcast(map_df), "label", "left").select(
+            "row",
+            "col",
+            F.coalesce("new_value", "value").alias("value"),
+            F.lit(True).alias("valid"),
+        )
+    if mode != "longest_border":
+        raise ValueError(f"unknown sieve mode {mode!r}")
     cc = connected_components(cells, connectivity).persist()
     sizes = cc.groupBy("label").agg(F.count(F.lit(1)).alias("n"))
     cc2 = cc.join(F.broadcast(sizes), "label")

@@ -161,11 +161,15 @@ def reproject(
     dom = _dst_domain(spark, dst_width, dst_height)
     col_f, row_f = _src_fractional_cols(dst_transform, src_transform, src_crs, dst_crs)
     dom = dom.withColumn("_cf", col_f).withColumn("_rf", row_f)
+    # each band is warped independently (reference reproject iterates
+    # bands, _warp.pyx band loop): dst domain x distinct input bands —
+    # the band list is tiny, so the cross join stays a broadcast.
+    bands = src_cells.select("band").distinct()
 
     if resampling == "nearest":
         dom = dom.withColumn("_sc", F.floor("_cf").cast("int")).withColumn(
             "_sr", F.floor("_rf").cast("int")
-        )
+        ).crossJoin(F.broadcast(bands))
         src = src_cells.select(
             F.col("band"),
             F.col("row").alias("_sr"),
@@ -173,9 +177,9 @@ def reproject(
             "value",
             "valid",
         )
-        joined = dom.join(src, ["_sr", "_sc"], "left")
+        joined = dom.join(src, ["band", "_sr", "_sc"], "left")
         return joined.select(
-            F.coalesce("band", F.lit(1)).alias("band"),
+            "band",
             "row",
             "col",
             F.coalesce(
@@ -206,7 +210,7 @@ def reproject(
         g = dom.withColumn("_o", off)
         g = g.withColumn("_sr", F.col("_r0") + F.col("_o.dr")).withColumn(
             "_sc", F.col("_c0") + F.col("_o.dc")
-        )
+        ).crossJoin(F.broadcast(bands))
         wgt = (
             F.when(F.col("_o.dr") == 0, 1.0 - F.col("_wy")).otherwise(F.col("_wy"))
         ) * (F.when(F.col("_o.dc") == 0, 1.0 - F.col("_wx")).otherwise(F.col("_wx")))
@@ -218,19 +222,20 @@ def reproject(
             "value",
             "valid",
         )
-        j = g.join(src, ["_sr", "_sc"], "left")
+        # band is a join key: the 2x2 gather and the weight
+        # normalization below stay within one band (no cross-band mix)
+        j = g.join(src, ["band", "_sr", "_sc"], "left")
         j = j.withColumn(
             "_wv",
             F.when(F.col("valid") & F.col("value").isNotNull(), F.col("_w")).otherwise(0.0),
         )
-        agg = j.groupBy("row", "col").agg(
+        agg = j.groupBy("band", "row", "col").agg(
             F.round(
                 F.sum(F.when(F.col("_wv") > 0, F.col("_w") * F.col("value")).otherwise(0.0))
                 / F.sum("_wv"),
                 6,
             ).alias("_v"),
             F.sum("_wv").alias("_tw"),
-            F.max(F.coalesce("band", F.lit(1))).alias("band"),
         )
         return agg.select(
             "band",
@@ -265,7 +270,9 @@ def reproject(
         agg = landed.groupBy("band", "row", "col").agg(
             F.round(F.avg("value"), 6).alias("value")
         )
-        dom2 = _dst_domain(spark, dst_width, dst_height).withColumn("band", F.lit(1))
+        # dense output per input band (band=1 only was a bug: bands >= 2
+        # were silently dropped from the dense domain)
+        dom2 = _dst_domain(spark, dst_width, dst_height).crossJoin(F.broadcast(bands))
         out = dom2.join(agg, ["band", "row", "col"], "left")
         return out.select(
             "band",
