@@ -102,6 +102,22 @@ def _merge_query(method: str):
     return q
 
 
+def q_merge_callable_range(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Custom-callable merge method (reference merge.py:175-191 copyto
+    hook): value range (max - min) across contributing sources — the
+    callable runs in a grouped-map applyInPandas; the oracle computes
+    the same reduction in SQL."""
+    import numpy as np
+
+    from rasterio_spark.operators.merge import merge
+    from rasterio_spark.sources.layers import source_layers_from_documents
+
+    return merge(
+        source_layers_from_documents(spark, sf_dir),
+        method=lambda v: float(np.max(v) - np.min(v)),
+    )
+
+
 KNN_QUERIES = [(0, 10.0, 10.0), (1, -170.0, 80.0), (2, 100.5, 40.5), (3, 0.25, -60.0)]
 KNN_K = 5
 
@@ -258,15 +274,17 @@ def q_reproject_average(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 def q_transform_points_3857(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """warp.transform to Web Mercator — rows-only check (ln/tan are not
-    bit-identical across JVM/libm; exactness is covered in pytest with
-    tolerances)."""
+    """warp.transform to Web Mercator. JVM and libm ln/tan agree to
+    ~4e-9 m (measured); both sides round to 4 decimals (0.1 mm) so the
+    hash compare is deterministic."""
     from rasterio_spark.grid.crs import forward_3857_cols
     from rasterio_spark.sources.pages import with_geocode
 
     geo = with_geocode(_pages(spark, sf_dir))
     x, y = forward_3857_cols(F.col("lon"), F.col("lat"))
-    return geo.select("url", x.alias("merc_x"), y.alias("merc_y"))
+    return geo.select(
+        "url", F.round(x, 4).alias("merc_x"), F.round(y, 4).alias("merc_y")
+    )
 
 
 def q_text_features(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -292,18 +310,40 @@ def q_dedup_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
     return dedup_exact(spark.read.parquet(f"{sf_dir}/documents.parquet"))
 
 
+NGRAM_MAX_DF = 100  # shingle document-frequency cap (both sides)
+LSH_MAX_BUCKET = 50  # LSH bucket-size cap (both sides)
+
+
 def q_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
     from rasterio_spark.operators.dedup import ngram_jaccard_pairs
 
     return ngram_jaccard_pairs(
-        spark.read.parquet(f"{sf_dir}/documents.parquet"), n=3, threshold=0.2
+        spark.read.parquet(f"{sf_dir}/documents.parquet"),
+        n=3,
+        threshold=0.2,
+        max_df=NGRAM_MAX_DF,
     )
 
 
 def q_minhash_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
     from rasterio_spark.operators.dedup import minhash_lsh_pairs
 
-    return minhash_lsh_pairs(spark.read.parquet(f"{sf_dir}/documents.parquet"))
+    return minhash_lsh_pairs(
+        spark.read.parquet(f"{sf_dir}/documents.parquet"), max_bucket=LSH_MAX_BUCKET
+    )
+
+
+def q_dedup_groups(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """End-to-end dedup: LSH -> exact-Jaccard verify -> connected
+    components -> keeper verdict per doc."""
+    from rasterio_spark.operators.dedup import dedup_groups
+
+    return dedup_groups(
+        spark.read.parquet(f"{sf_dir}/documents.parquet"),
+        n=3,
+        threshold=0.2,
+        max_bucket=LSH_MAX_BUCKET,
+    )
 
 
 def q_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -348,12 +388,19 @@ def q_html_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 def q_image_features_stub(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Multimodal plumbing over binary blobs (stubbed decoder) —
-    rows-only check; the mapInPandas schema/batching is what's tested."""
+    """Multimodal plumbing over binary blobs (stubbed sha256 decoder).
+    The feature vector is exploded to (url, dim_idx, value) so the
+    output is hashable AND oracle-able: DuckDB recomputes the same
+    sha256-seeded fake features byte-for-byte. The subset filter is on
+    the url-derived page index (deterministic — limit() is not)."""
     from rasterio_spark.operators.multimodal import extract_image_features
+    from rasterio_spark.sources.pages import _page_index_expr
 
-    pages = _pages(spark, sf_dir).limit(500)
-    return extract_image_features(pages, binary_col="html", id_col="url")
+    pages = _pages(spark, sf_dir).where(_page_index_expr() < 500)
+    feats = extract_image_features(pages, binary_col="html", id_col="url")
+    return feats.select(
+        "url", F.posexplode("feat").alias("dim_idx", "value"), "n_bytes"
+    )
 
 
 def _cells3(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -506,6 +553,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "dedup_exact": q_dedup_exact,
         "ngram_jaccard": q_ngram_jaccard,
         "minhash_lsh": q_minhash_lsh,
+        "dedup_groups": q_dedup_groups,
+        "merge_callable_range": q_merge_callable_range,
         "simhash": q_simhash,
         "cosine_topk": q_cosine_topk,
         "ivf_topk_fullprobe": q_ivf_topk_fullprobe,
@@ -568,6 +617,15 @@ def oracle_sql() -> dict[str, str]:
     """
     for m in ("first", "last", "min", "max", "sum", "count"):
         sqls[f"merge_{m}"] = merge_sql(m, source_layers_sql())
+    sqls["merge_callable_range"] = f"""
+        SELECT band, row, col, max(value) - min(value) AS value
+        FROM (
+          SELECT src_idx, band, row, col, max(value) AS value
+          FROM ({source_layers_sql()}) WHERE valid
+          GROUP BY 1, 2, 3, 4
+        )
+        GROUP BY band, row, col
+    """
     sqls["band_stats"] = f"{_cells_cte()} {band_stats_sql()}"
     sqls["data_window"] = f"{_cells_cte()} {get_data_window_sql()}"
 
@@ -713,9 +771,14 @@ def oracle_sql() -> dict[str, str]:
         FROM documents
     """
     sqls["lang_id"] = f"SELECT doc_id, {lang_id_sql()} AS pred_lang FROM documents"
+    from rasterio_spark.operators.dedup import dedup_groups_sql
+
     sqls["dedup_exact"] = dedup_exact_sql()
-    sqls["ngram_jaccard"] = ngram_jaccard_sql(n=3, threshold=0.2)
-    sqls["minhash_lsh"] = minhash_lsh_sql()
+    sqls["ngram_jaccard"] = ngram_jaccard_sql(n=3, threshold=0.2, max_df=NGRAM_MAX_DF)
+    sqls["minhash_lsh"] = minhash_lsh_sql(max_bucket=LSH_MAX_BUCKET)
+    sqls["dedup_groups"] = dedup_groups_sql(
+        n=3, threshold=0.2, max_bucket=LSH_MAX_BUCKET
+    )
     sqls["simhash"] = simhash_sql()
     sqls["cosine_topk"] = cosine_topk_sql(ANN_QUERY_IDS, ANN_K)
     sqls["ivf_topk_fullprobe"] = sqls["cosine_topk"]
@@ -763,6 +826,53 @@ def oracle_sql() -> dict[str, str]:
               (SELECT date_trunc('hour', max(warc_ts)) - INTERVAL 3 HOUR FROM pages)
         GROUP BY 1, 2
     """
-    # transform_points_3857, image_features_stub, shapes_summary, sieve:
-    # rows-only by design (UDF decode stub / iterative connected components)
+    # --- formerly rows-only, now oracled ------------------------------------
+    from rasterio_spark.grid.crs import forward_3857_sql
+    from rasterio_spark.operators.shapes import shapes_summary_sql, sieve_sql
+
+    mx, my = forward_3857_sql(lon_sql, lat_sql)
+    sqls["transform_points_3857"] = f"""
+        {_pages_cte()}
+        SELECT url, round({mx}, 4) AS merc_x, round({my}, 4) AS merc_y
+        FROM pages
+    """
+
+    # stub decoder twin: sha256(html) digest bytes -> 8 little-endian
+    # u32 words / 2^32 (multimodal._fake_decode byte-for-byte)
+    le32 = (
+        "CAST(concat('0x', substr(hx, 8*g.i + 7, 2), substr(hx, 8*g.i + 5, 2), "
+        "substr(hx, 8*g.i + 3, 2), substr(hx, 8*g.i + 1, 2)) AS BIGINT)"
+    )
+    sqls["image_features_stub"] = f"""
+        {_pages_cte()},
+        sub AS (
+          SELECT url, html FROM pages
+          WHERE CAST(string_split(url, '/')[-1] AS BIGINT) < 500
+        ),
+        h AS (
+          -- DuckDB sha256 takes VARCHAR; html is UTF-8 text bytes, so
+          -- sha256(decode(blob)) hashes the same bytes as Python
+          SELECT url, sha256(decode(html)) AS hx,
+                 octet_length(html) AS n_bytes
+          FROM sub
+        )
+        SELECT url, CAST(g.i AS INTEGER) AS dim_idx,
+               {le32} / 4294967296.0 AS value,
+               n_bytes
+        FROM h, generate_series(0, 7) AS g(i)
+    """
+
+    thresholded_cells = f"""
+        SELECT row, col,
+               CASE WHEN value > 128 THEN 1.0 ELSE 0.0 END AS value
+        FROM ({doc_cells_sql_body()}) WHERE valid
+    """
+    sqls["shapes_summary"] = shapes_summary_sql(thresholded_cells, connectivity=4)
+    sqls["sieve"] = sieve_sql(thresholded_cells, size=3, connectivity=4)
     return sqls
+
+
+def doc_cells_sql_body() -> str:
+    from rasterio_spark.sources.layers import doc_cells_sql
+
+    return doc_cells_sql()

@@ -75,25 +75,150 @@ def transform_bounds(src_crs, dst_crs, left, bottom, right, top, densify_pts: in
     return float(tx.min()), float(ty.min()), float(tx.max()), float(ty.max())
 
 
-def transform_geom(src_crs, dst_crs, geom: dict, precision: float = -1) -> dict:
+def _shift_lons(coords):
+    """Shift a coordinate sequence into continuous [0, 360) longitude
+    space when it crosses the antimeridian; returns (shifted, crossed)."""
+    lons = [c[0] for c in coords]
+    crossed = any(abs(b - a) > 180.0 for a, b in zip(lons[:-1], lons[1:])) or any(
+        l > 180.0 or l < -180.0 for l in lons
+    )
+    if not crossed:
+        return coords, False
+    return [((x + 360.0) if x < 0 else x, y) for x, y in coords], True
+
+
+def _clip_ring(coords, keep_left: bool):
+    """Sutherland-Hodgman clip of a closed ring against lon <= 180
+    (keep_left) or lon >= 180, in shifted [0, 360) space."""
+    out = []
+    for (x0, y0), (x1, y1) in zip(coords[:-1], coords[1:]):
+        in0 = (x0 <= 180.0) if keep_left else (x0 >= 180.0)
+        in1 = (x1 <= 180.0) if keep_left else (x1 >= 180.0)
+        if in0:
+            out.append((x0, y0))
+        if in0 != in1:
+            t = (180.0 - x0) / (x1 - x0)
+            out.append((180.0, y0 + t * (y1 - y0)))
+    if out and out[0] != out[-1]:
+        out.append(out[0])
+    return out if len(out) >= 4 else None
+
+
+def _split_line(coords):
+    """Split an open coordinate path at lon = 180 (shifted space);
+    returns the list of parts."""
+    parts = []
+    cur = [coords[0]]
+    for (x0, y0), (x1, y1) in zip(coords[:-1], coords[1:]):
+        side0, side1 = x0 > 180.0, x1 > 180.0
+        if side0 == side1 or x1 == 180.0 or x0 == 180.0:
+            cur.append((x1, y1))
+        else:
+            t = (180.0 - x0) / (x1 - x0)
+            mid = (180.0, y0 + t * (y1 - y0))
+            cur.append(mid)
+            parts.append(cur)
+            cur = [mid, (x1, y1)]
+    parts.append(cur)
+    return [p for p in parts if len(p) >= 2]
+
+
+def _unshift(coords):
+    """Map an east-side part (shifted space, all lon >= 180) back to
+    [-180, 180]: the shared boundary becomes -180, not +180."""
+    if any(x > 180.0 for x, _ in coords):
+        return [((x - 360.0) if x >= 180.0 else x, y) for x, y in coords]
+    return coords
+
+
+def cut_geometry_antimeridian(geom: dict) -> dict:
+    """Cut a geographic (EPSG:4326) GeoJSON geometry at the +/-180
+    meridian (reference warp.py:84 + _warp.pyx:107-141: OGR
+    WRAPDATELINE, always on when the target is geographic). Polygons
+    split into a MultiPolygon (left part + right part shifted by -360),
+    LineStrings into a MultiLineString. Non-straddling geometries pass
+    through unchanged. Holes are clipped against the same half-planes
+    (a simplification of OGR's full topology repair, documented)."""
+    gtype = geom.get("type")
+    if gtype == "Polygon":
+        shifted_rings = []
+        crossed_any = False
+        for ring in geom["coordinates"]:
+            shifted, crossed = _shift_lons(list(ring))
+            shifted_rings.append(shifted)
+            crossed_any = crossed_any or crossed
+        if not crossed_any:
+            return geom
+        west_poly = [r for r in (_clip_ring(ring, True) for ring in shifted_rings) if r]
+        east_poly = [
+            r
+            for r in (_clip_ring(ring, False) for ring in shifted_rings)
+            if r
+        ]
+        polys = []
+        if west_poly:
+            polys.append([[list(p) for p in ring] for ring in west_poly])
+        if east_poly:
+            polys.append([[list(p) for p in _unshift(ring)] for ring in east_poly])
+        return {"type": "MultiPolygon", "coordinates": polys}
+    if gtype == "LineString":
+        shifted, crossed = _shift_lons(list(geom["coordinates"]))
+        if not crossed:
+            return geom
+        parts = [_unshift(p) for p in _split_line(shifted)]
+        return {
+            "type": "MultiLineString",
+            "coordinates": [[list(p) for p in part] for part in parts],
+        }
+    if gtype in ("MultiPolygon", "MultiLineString"):
+        sub = "Polygon" if gtype == "MultiPolygon" else "LineString"
+        cut = [
+            cut_geometry_antimeridian({"type": sub, "coordinates": c})
+            for c in geom["coordinates"]
+        ]
+        out_coords = []
+        for g in cut:
+            if g["type"] == sub:
+                out_coords.append(g["coordinates"])
+            else:
+                out_coords.extend(g["coordinates"])
+        return {"type": gtype, "coordinates": out_coords}
+    return geom
+
+
+def transform_geom(
+    src_crs, dst_crs, geom: dict, precision: float = -1, antimeridian_cutting: bool = True
+) -> dict:
     """Reproject a GeoJSON dict coordinate-by-coordinate
-    (reference warp.py:64-108; antimeridian cutting is out of scope for
-    the linear pair supported here — straddlers pass through)."""
+    (reference warp.py:64-108). When the target CRS is geographic,
+    geometries straddling +/-180 are cut into Multi* parts — always on
+    in the reference (warp.py:84); pass antimeridian_cutting=False to
+    opt out."""
 
     def conv(coords):
         if coords and isinstance(coords[0], (int, float)):
             x, y = transform_points(src_crs, dst_crs, [coords[0]], [coords[1]])
-            px, py = float(x[0]), float(y[0])
-            if precision >= 0:
-                px, py = round(px, int(precision)), round(py, int(precision))
-            return (px, py)
+            return (float(x[0]), float(y[0]))
         return [conv(c) for c in coords]
+
+    def rounded(coords):
+        if coords and isinstance(coords[0], (int, float)):
+            return (round(coords[0], int(precision)), round(coords[1], int(precision)))
+        return [rounded(c) for c in coords]
 
     out = dict(geom)
     if geom.get("type") == "GeometryCollection":
-        out["geometries"] = [transform_geom(src_crs, dst_crs, g, precision) for g in geom["geometries"]]
-    else:
-        out["coordinates"] = conv(list(geom["coordinates"]))
+        out["geometries"] = [
+            transform_geom(src_crs, dst_crs, g, precision, antimeridian_cutting)
+            for g in geom["geometries"]
+        ]
+        return out
+    out["coordinates"] = conv(list(geom["coordinates"]))
+    if antimeridian_cutting and is_geographic(dst_crs):
+        out = cut_geometry_antimeridian(out)
+    if precision >= 0:
+        out = dict(out)
+        out["coordinates"] = rounded(out["coordinates"])
     return out
 
 

@@ -63,19 +63,47 @@ def shingle_docs(docs: DataFrame, n: int = 3, text_col: str = "text", id_col: st
     )
 
 
+def cap_shingles(sh: DataFrame, max_df: int) -> DataFrame:
+    """Drop shingles present in more than ``max_df`` documents.
+
+    The hot-shingle set is tiny (only the boilerplate tail), so the
+    anti-join is a broadcast; this is the guard that keeps the
+    per-shingle self-join linear at 100 TB — without it one viral
+    trigram in 1% of 10^10 docs emits ~10^14 pairs.
+    """
+    hot = (
+        sh.groupBy("shingle")
+        .agg(F.count(F.lit(1)).alias("_df"))
+        .where(F.col("_df") > max_df)
+        .select("shingle")
+    )
+    return sh.join(F.broadcast(hot), "shingle", "left_anti")
+
+
 def ngram_jaccard_pairs(
-    docs: DataFrame, n: int = 3, threshold: float = 0.5, text_col: str = "text", id_col: str = "doc_id"
+    docs: DataFrame,
+    n: int = 3,
+    threshold: float = 0.5,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    max_df: int | None = None,
 ) -> DataFrame:
     """Near-dup pairs by n-gram Jaccard >= threshold.
 
     Plan: shingle -> self-join on shingle (candidates share >= 1) ->
     count shared -> jaccard with per-doc distinct counts. The self-join
-    key is the shingle, so cost ~ sum over shingles of df^2 — bounded
-    for natural text; a frequency cap (drop shingles in > 1% of docs)
-    keeps the worst case linear at 100 TB.
+    key is the shingle, so cost ~ sum over shingles of df^2.
+    ``max_df`` (pass ~1% of the corpus size in production) drops
+    shingles in more than that many docs BEFORE the self-join — the
+    worst case stays linear at 100 TB. Jaccard denominators use the
+    FULL per-doc shingle counts, so with a cap the score is a lower
+    bound (shared hot shingles aren't counted) — the standard boiler-
+    plate-robust estimate; the DuckDB twin applies the identical cap.
     """
     sh = shingle_docs(docs, n, text_col, id_col)
     sizes = sh.groupBy("doc_id").agg(F.count(F.lit(1)).alias("n_sh"))
+    if max_df is not None:
+        sh = cap_shingles(sh, max_df)
     a = sh.alias("a")
     b = sh.alias("b")
     shared = (
@@ -94,17 +122,26 @@ def ngram_jaccard_pairs(
     return j.select("doc_a", "doc_b", "jaccard")
 
 
-def ngram_jaccard_sql(n: int = 3, threshold: float = 0.5, table: str = "documents") -> str:
+def ngram_jaccard_sql(
+    n: int = 3, threshold: float = 0.5, table: str = "documents", max_df: int | None = None
+) -> str:
     sh = f"""
         SELECT DISTINCT doc_id, unnest({_shingles_sql("text", n)}) AS shingle
         FROM {table}
     """
+    capped = (
+        f"SELECT * FROM sh WHERE shingle NOT IN "
+        f"(SELECT shingle FROM sh GROUP BY 1 HAVING count(*) > {max_df})"
+        if max_df is not None
+        else "SELECT * FROM sh"
+    )
     return f"""
         WITH sh AS ({sh}),
         sizes AS (SELECT doc_id, count(*) AS n_sh FROM sh GROUP BY 1),
+        capped AS ({capped}),
         shared AS (
           SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, count(*) AS shared
-          FROM sh a JOIN sh b ON a.shingle = b.shingle AND a.doc_id < b.doc_id
+          FROM capped a JOIN capped b ON a.shingle = b.shingle AND a.doc_id < b.doc_id
           GROUP BY 1, 2
         )
         SELECT s.doc_a, s.doc_b,
@@ -116,16 +153,32 @@ def ngram_jaccard_sql(n: int = 3, threshold: float = 0.5, table: str = "document
     """
 
 
-def _shingle_hash_expr() -> str:
-    """Spark: shingle -> 60-bit int via sha2 (portable to DuckDB)."""
-    return "conv(substring(sha2(shingle, 256), 1, 15), 16, 10)"
+def _shingle_hash_expr(hash_method: str = "sha2") -> str:
+    """Spark: shingle -> nonnegative int hash.
+
+    'sha2' (default) is DuckDB-portable (the oracle computes the same
+    integers). 'xxh64' is the production path: one JVM xxhash64 call
+    per shingle instead of a MessageDigest allocation — measured ~10x
+    cheaper and it scales linearly with cores; use it when no SQL twin
+    is needed (bench / real pipelines)."""
+    if hash_method == "sha2":
+        return "conv(substring(sha2(shingle, 256), 1, 15), 16, 10)"
+    if hash_method == "xxh64":
+        return "pmod(xxhash64(shingle), 1152921504606846976)"
+    raise ValueError(f"unknown hash_method {hash_method!r}")
 
 
-def minhash_signatures(docs: DataFrame, n: int = 3, text_col: str = "text", id_col: str = "doc_id") -> DataFrame:
-    """(doc_id, sig array<long>) — MinHash signature with 16 universal-
-    hash permutations over 60-bit shingle hashes mod p."""
+def minhash_signatures(
+    docs: DataFrame,
+    n: int = 3,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    hash_method: str = "sha2",
+) -> DataFrame:
+    """(doc_id, s0..s15) — MinHash signature with 16 universal-hash
+    permutations over 60-bit shingle hashes mod p."""
     sh = shingle_docs(docs, n, text_col, id_col)
-    hp = (F.expr(_shingle_hash_expr()).cast("long") % MINHASH_P).alias("hp")
+    hp = (F.expr(_shingle_hash_expr(hash_method)).cast("long") % MINHASH_P).alias("hp")
     sh = sh.select("doc_id", hp)
     aggs = [
         F.min((F.lit(a) * F.col("hp") + F.lit(b)) % MINHASH_P).alias(f"s{j}")
@@ -134,11 +187,8 @@ def minhash_signatures(docs: DataFrame, n: int = 3, text_col: str = "text", id_c
     return sh.groupBy("doc_id").agg(*aggs)
 
 
-def minhash_lsh_pairs(docs: DataFrame, n: int = 3, text_col: str = "text", id_col: str = "doc_id") -> DataFrame:
-    """Candidate near-dup pairs: docs sharing any LSH band bucket
-    (16 perms -> 4 bands x 4 rows). Pure groupBy/join — the standard
-    shingle -> minhash -> band -> bucket-join pipeline."""
-    sig = minhash_signatures(docs, n, text_col, id_col)
+def lsh_buckets(sig: DataFrame) -> DataFrame:
+    """(doc_id, bucket) — one bucket key per LSH band."""
     rows_per_band = len(MINHASH_COEFFS) // LSH_BANDS
     band_frames = []
     for band in range(LSH_BANDS):
@@ -148,6 +198,37 @@ def minhash_lsh_pairs(docs: DataFrame, n: int = 3, text_col: str = "text", id_co
     buckets = band_frames[0]
     for bf in band_frames[1:]:
         buckets = buckets.unionByName(bf)
+    return buckets
+
+
+def minhash_lsh_pairs(
+    docs: DataFrame,
+    n: int = 3,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    max_bucket: int | None = None,
+    hash_method: str = "sha2",
+) -> DataFrame:
+    """Candidate near-dup pairs: docs sharing any LSH band bucket
+    (16 perms -> 4 bands x 4 rows). Pure groupBy/join — the standard
+    shingle -> minhash -> band -> bucket-join pipeline.
+
+    ``max_bucket`` drops buckets holding more than that many docs
+    before the self-join (the bucket-side analogue of the shingle
+    df-cap): a degenerate bucket of b docs costs b^2 pairs, so the cap
+    bounds the join output at buckets * max_bucket^2. Oversized buckets
+    are boilerplate clusters LSH cannot rank anyway — production
+    pipelines route them to exact dedup instead."""
+    sig = minhash_signatures(docs, n, text_col, id_col, hash_method)
+    buckets = lsh_buckets(sig)
+    if max_bucket is not None:
+        hot = (
+            buckets.groupBy("bucket")
+            .agg(F.count(F.lit(1)).alias("_n"))
+            .where(F.col("_n") > max_bucket)
+            .select("bucket")
+        )
+        buckets = buckets.join(F.broadcast(hot), "bucket", "left_anti")
     a = buckets.alias("a")
     b = buckets.alias("b")
     return (
@@ -157,7 +238,8 @@ def minhash_lsh_pairs(docs: DataFrame, n: int = 3, text_col: str = "text", id_co
     )
 
 
-def minhash_lsh_sql(n: int = 3, table: str = "documents") -> str:
+def _minhash_ctes(n: int, table: str, max_bucket: int | None) -> str:
+    """Shared CTE chain sh -> sig -> buckets -> cand (LSH pairs)."""
     sh = f"""
         SELECT DISTINCT doc_id, unnest({_shingles_sql("text", n)}) AS shingle
         FROM {table}
@@ -174,13 +256,176 @@ def minhash_lsh_sql(n: int = 3, table: str = "documents") -> str:
         key = " || '_' || ".join([f"'{band}'"] + [f"CAST({c} AS VARCHAR)" for c in cols])
         band_selects.append(f"SELECT doc_id, {key} AS bucket FROM sig")
     buckets = " UNION ALL ".join(band_selects)
+    capped = (
+        f"SELECT * FROM buckets0 WHERE bucket NOT IN "
+        f"(SELECT bucket FROM buckets0 GROUP BY 1 HAVING count(*) > {max_bucket})"
+        if max_bucket is not None
+        else "SELECT * FROM buckets0"
+    )
     return f"""
-        WITH sh AS ({sh}),
+        sh AS ({sh}),
         sig AS (SELECT doc_id, {sig_cols} FROM sh GROUP BY doc_id),
-        buckets AS ({buckets})
-        SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
-        FROM buckets a JOIN buckets b
-          ON a.bucket = b.bucket AND a.doc_id < b.doc_id
+        buckets0 AS ({buckets}),
+        buckets AS ({capped}),
+        cand AS (
+          SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
+          FROM buckets a JOIN buckets b
+            ON a.bucket = b.bucket AND a.doc_id < b.doc_id
+        )
+    """
+
+
+def minhash_lsh_sql(n: int = 3, table: str = "documents", max_bucket: int | None = None) -> str:
+    return f"""
+        WITH {_minhash_ctes(n, table, max_bucket)}
+        SELECT doc_a, doc_b FROM cand
+    """
+
+
+def lsh_verified_pairs(
+    docs: DataFrame,
+    n: int = 3,
+    threshold: float = 0.5,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    max_bucket: int | None = None,
+    hash_method: str = "sha2",
+) -> DataFrame:
+    """LSH candidates -> EXACT Jaccard verify (the stage that turns the
+    candidate generator into a dedup operator): join each candidate
+    pair back to the shingle sets, count the intersection, keep pairs
+    with true Jaccard >= threshold. Cost is O(candidate pairs x shared
+    shingles), never all-pairs."""
+    cand = minhash_lsh_pairs(docs, n, text_col, id_col, max_bucket, hash_method)
+    sh = shingle_docs(docs, n, text_col, id_col)
+    sizes = sh.groupBy("doc_id").agg(F.count(F.lit(1)).alias("n_sh"))
+    sa = sh.select(F.col("doc_id").alias("doc_a"), "shingle")
+    sb = sh.select(F.col("doc_id").alias("doc_b"), "shingle")
+    shared = (
+        cand.join(sa, "doc_a")
+        .join(sb, ["doc_b", "shingle"])
+        .groupBy("doc_a", "doc_b")
+        .agg(F.count(F.lit(1)).alias("shared"))
+    )
+    j = (
+        shared.join(sizes.select(F.col("doc_id").alias("doc_a"), F.col("n_sh").alias("na")), "doc_a")
+        .join(sizes.select(F.col("doc_id").alias("doc_b"), F.col("n_sh").alias("nb")), "doc_b")
+        .withColumn(
+            "jaccard",
+            F.round(F.col("shared") / (F.col("na") + F.col("nb") - F.col("shared")), 6),
+        )
+        .where(F.col("jaccard") >= threshold)
+    )
+    return j.select("doc_a", "doc_b", "jaccard")
+
+
+def connected_components_pairs(pairs: DataFrame, max_iter: int = 25) -> DataFrame:
+    """(node, label) — connected components over an edge list by
+    min-label propagation: each iteration every node takes the minimum
+    label among itself and its neighbors; converged when nothing
+    changes. O(component diameter) Spark jobs — near-dup clusters are
+    shallow (dups of dups of one original), so this is 2-4 rounds in
+    practice; each round is one join + one groupBy, fully distributed
+    (no edge list ever reaches the driver)."""
+    edges = pairs.select(F.col("doc_a").alias("src"), F.col("doc_b").alias("dst"))
+    und = edges.unionByName(
+        edges.select(F.col("dst").alias("src"), F.col("src").alias("dst"))
+    )
+    labels = (
+        und.select(F.col("src").alias("node"))
+        .distinct()
+        .withColumn("label", F.col("node"))
+        .persist()
+    )
+    for _ in range(max_iter):
+        prop = (
+            und.join(labels, und["src"] == labels["node"])
+            .select(F.col("dst").alias("node"), "label")
+        )
+        new_labels = (
+            labels.select("node", "label")
+            .unionByName(prop)
+            .groupBy("node")
+            .agg(F.min("label").alias("label"))
+            .persist()
+        )
+        changed = (
+            new_labels.alias("n")
+            .join(labels.alias("o"), "node")
+            .where(F.col("n.label") != F.col("o.label"))
+            .limit(1)
+            .count()
+        )
+        labels.unpersist()
+        labels = new_labels
+        if changed == 0:
+            break
+    return labels
+
+
+def dedup_groups(
+    docs: DataFrame,
+    n: int = 3,
+    threshold: float = 0.5,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    max_bucket: int | None = None,
+    hash_method: str = "sha2",
+) -> DataFrame:
+    """End-to-end near-dup dedup verdict per document:
+    (doc_id, group_id, keep) — LSH candidates -> exact-Jaccard verify ->
+    connected components -> keeper = min doc_id per component. Docs in
+    no near-dup group are their own keeper."""
+    pairs = lsh_verified_pairs(docs, n, threshold, text_col, id_col, max_bucket, hash_method)
+    labels = connected_components_pairs(pairs)
+    base = docs.select(F.col(id_col).alias("doc_id"))
+    out = base.join(labels.withColumnRenamed("node", "doc_id"), "doc_id", "left")
+    group_id = F.coalesce("label", F.col("doc_id"))
+    return out.select(
+        "doc_id",
+        group_id.alias("group_id"),
+        (group_id == F.col("doc_id")).alias("keep"),
+    )
+
+
+def dedup_groups_sql(
+    n: int = 3, threshold: float = 0.5, table: str = "documents", max_bucket: int | None = None
+) -> str:
+    """DuckDB twin of dedup_groups: same LSH + verify SQL, components
+    via a recursive min-label-propagation CTE (the global minimum of a
+    component is smaller than every other member id, so it reaches all
+    members along edges)."""
+    return f"""
+        WITH RECURSIVE {_minhash_ctes(n, table, max_bucket)},
+        sizes AS (SELECT doc_id, count(*) AS n_sh FROM sh GROUP BY 1),
+        shared AS (
+          SELECT c.doc_a, c.doc_b, count(*) AS shared
+          FROM cand c
+          JOIN sh a ON a.doc_id = c.doc_a
+          JOIN sh b ON b.doc_id = c.doc_b AND b.shingle = a.shingle
+          GROUP BY 1, 2
+        ),
+        verified AS (
+          SELECT s.doc_a, s.doc_b
+          FROM shared s
+          JOIN sizes sa ON sa.doc_id = s.doc_a
+          JOIN sizes sb ON sb.doc_id = s.doc_b
+          WHERE round(s.shared / (sa.n_sh + sb.n_sh - s.shared), 6) >= {threshold}
+        ),
+        und AS (
+          SELECT doc_a AS s, doc_b AS d FROM verified
+          UNION ALL
+          SELECT doc_b, doc_a FROM verified
+        ),
+        reach(node, label) AS (
+          SELECT doc_id, doc_id FROM {table}
+          UNION
+          SELECT u.d, r.label FROM reach r JOIN und u ON u.s = r.node
+          WHERE r.label < u.d
+        )
+        SELECT node AS doc_id, min(label) AS group_id,
+               (min(label) = node) AS keep
+        FROM reach GROUP BY node
     """
 
 

@@ -142,7 +142,7 @@ def pip_join(
     strategy: str = "broadcast",
     salt_buckets: int = 0,
     cover_res: int | None = None,
-    geocode: str = "sha2",
+    geocode: str = "auto",
 ) -> DataFrame:
     """Join pages to the polygons containing them.
 

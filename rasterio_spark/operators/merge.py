@@ -39,7 +39,7 @@ def _pre_reduce(layers: DataFrame) -> DataFrame:
     )
 
 
-def merge(layers: DataFrame, method: str = "first", nodata: float = 0.0) -> DataFrame:
+def merge(layers: DataFrame, method="first", nodata: float = 0.0) -> DataFrame:
     """Merge overlapping source layers.
 
     layers: (src_idx int, band int, row int, col int, value double,
@@ -47,7 +47,30 @@ def merge(layers: DataFrame, method: str = "first", nodata: float = 0.0) -> Data
     at least one valid contribution; callers wanting the full domain
     left-join against it and coalesce(nodata) — same as the reference's
     nodata-initialized destination.
+
+    ``method`` may also be a Python callable (the reference's custom
+    copyto hook, merge.py:175-191): it receives the cell's contribution
+    values as a NumPy array ordered by src_idx and returns a float. It
+    runs as a grouped-map applyInPandas over (band, row) groups — the
+    Arrow batch carries whole rows of cells, the per-cell reduce is a
+    pandas groupby inside the worker. Built-in method names stay on the
+    JVM aggregate path; use them whenever the reduction is expressible.
     """
+    if callable(method):
+        import pandas as pd
+
+        fn = method
+        per_source = _pre_reduce(layers)
+
+        def reduce_rows(pdf: pd.DataFrame) -> pd.DataFrame:
+            pdf = pdf.sort_values(["col", "src_idx"], kind="stable")
+            return pdf.groupby(["band", "row", "col"], as_index=False).agg(
+                value=("value", lambda s: float(fn(s.to_numpy())))
+            )
+
+        return per_source.groupBy("band", "row").applyInPandas(
+            reduce_rows, schema="band int, row int, col int, value double"
+        )
     if method not in MERGE_METHODS:
         raise ValueError(f"unknown merge method {method!r}; choose from {MERGE_METHODS}")
     per_source = _pre_reduce(layers)

@@ -93,17 +93,30 @@ def frame_sample(
 
     def sample(batches):
         for pdf in batches:
-            out_id, out_idx, out_feat = [], [], []
-            for _, r in pdf.iterrows():
-                blob = r[binary_col] or b""
-                n_frames = max(1, len(blob) // 1024)
-                for i in range(0, n_frames, every_n):
-                    h = hashlib.sha256(bytes(blob) + i.to_bytes(4, "little")).digest()
-                    out_id.append(r[id_col])
-                    out_idx.append(i)
-                    out_feat.append(
-                        (np.frombuffer(h[:16], dtype="<u4").astype("float64") / 2**32).tolist()
-                    )
+            blobs = [bytes(b) if b is not None else b"" for b in pdf[binary_col]]
+            sampled = [
+                np.arange(0, max(1, len(b) // 1024), every_n, dtype=np.int32)
+                for b in blobs
+            ]
+            reps = np.array([len(s) for s in sampled], dtype=np.int64)
+            out_id = np.repeat(pdf[id_col].to_numpy(), reps)
+            out_idx = (
+                np.concatenate(sampled) if len(sampled) else np.array([], dtype=np.int32)
+            )
+            # the per-frame sha256 below IS the stubbed decode step (a
+            # real frame decoder is per-frame work too); the row
+            # assembly around it is vectorized (repeat/concatenate)
+            out_feat = [
+                (
+                    np.frombuffer(
+                        hashlib.sha256(b + int(i).to_bytes(4, "little")).digest()[:16],
+                        dtype="<u4",
+                    ).astype("float64")
+                    / 2**32
+                ).tolist()
+                for b, s in zip(blobs, sampled)
+                for i in s
+            ]
             yield pd.DataFrame({id_col: out_id, "frame_idx": out_idx, "frame_feat": out_feat})
 
     return videos.mapInPandas(sample, schema=f"{id_col} string, frame_idx int, frame_feat array<double>")

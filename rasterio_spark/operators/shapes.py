@@ -188,6 +188,96 @@ def shapes_summary(cells: DataFrame, connectivity: int = 4) -> DataFrame:
     )
 
 
+def cc_label_sql(cells_select: str, connectivity: int = 4) -> str:
+    """DuckDB CTE chain labelling connected components by recursive
+    min-label propagation — the oracle twin of connected_components.
+    ``cells_select`` must yield (row, col, value) for valid cells.
+    Defines ``labeled(row, col, value, label)`` with label = min cell
+    key (row * 2^32 + col) of the component, exactly the engine's
+    deterministic label rule. Embed after WITH RECURSIVE.
+
+    Correctness: a component's minimum key is smaller than every other
+    member's key, so the propagation condition label < k lets it reach
+    every member along same-value adjacency; min() at the end picks it.
+    """
+    if connectivity == 8:
+        adj = "greatest(abs(c.row - r.row), abs(c.col - r.col)) = 1"
+    else:
+        adj = "(abs(c.row - r.row) + abs(c.col - r.col)) = 1"
+    return f"""
+        cellsk AS (
+          SELECT row, col, value, row * 4294967296 + col AS k
+          FROM ({cells_select})
+        ),
+        reach(row, col, k, value, label) AS (
+          SELECT row, col, k, value, k FROM cellsk
+          UNION
+          SELECT c.row, c.col, c.k, c.value, r.label
+          FROM reach r JOIN cellsk c
+            ON c.value = r.value AND {adj} AND r.label < c.k
+        ),
+        labeled AS (
+          SELECT row, col, value, min(label) AS label
+          FROM reach GROUP BY 1, 2, 3
+        )
+    """
+
+
+def shapes_summary_sql(cells_select: str, connectivity: int = 4) -> str:
+    """DuckDB oracle of shapes_summary over the same valid-cell input."""
+    return f"""
+        WITH RECURSIVE {cc_label_sql(cells_select, connectivity)}
+        SELECT CAST(label AS BIGINT) AS label, value,
+               count(*) AS n_cells,
+               CAST(min(row) AS BIGINT) AS min_row,
+               CAST(min(col) AS BIGINT) AS min_col,
+               CAST(max(row) AS BIGINT) AS max_row,
+               CAST(max(col) AS BIGINT) AS max_col
+        FROM labeled GROUP BY 1, 2
+    """
+
+
+def sieve_sql(cells_select: str, size: int, connectivity: int = 4) -> str:
+    """DuckDB oracle of sieve(mode='longest_border'): same CC labels,
+    same longest-shared-border vote (ties -> smaller neighbor label)."""
+    if connectivity == 8:
+        adj = "greatest(abs(s.row - b.row), abs(s.col - b.col)) = 1"
+    else:
+        adj = "(abs(s.row - b.row) + abs(s.col - b.col)) = 1"
+    return f"""
+        WITH RECURSIVE {cc_label_sql(cells_select, connectivity)},
+        sizes AS (SELECT label, count(*) AS n FROM labeled GROUP BY 1),
+        lab2 AS (
+          SELECT l.row, l.col, l.value, l.label, s.n
+          FROM labeled l JOIN sizes s USING (label)
+        ),
+        small AS (SELECT row, col, label FROM lab2 WHERE n < {size}),
+        big AS (
+          SELECT row, col, label AS nlabel, value AS nvalue
+          FROM lab2 WHERE n >= {size}
+        ),
+        votes AS (
+          SELECT s.label, b.nlabel, b.nvalue, count(*) AS shared
+          FROM small s JOIN big b ON {adj}
+          GROUP BY 1, 2, 3
+        ),
+        repl AS (
+          SELECT label, nvalue AS new_value FROM (
+            SELECT label, nvalue,
+                   row_number() OVER (
+                     PARTITION BY label ORDER BY shared DESC, nlabel ASC
+                   ) AS rk
+            FROM votes
+          ) WHERE rk = 1
+        )
+        SELECT CAST(l.row AS BIGINT) AS row, CAST(l.col AS BIGINT) AS col,
+               CASE WHEN l.n < {size} AND r.new_value IS NOT NULL
+                    THEN r.new_value ELSE l.value END AS value,
+               TRUE AS valid
+        FROM lab2 l LEFT JOIN repl r USING (label)
+    """
+
+
 def _trace_rings(rows: np.ndarray, cols: np.ndarray) -> list[list[tuple[float, float]]]:
     """Exact rectilinear boundary of a cell set: edge-cancellation +
     ring walking. Returns rings as (x, y) lists; first ring is the

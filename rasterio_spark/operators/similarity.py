@@ -98,9 +98,20 @@ def ivf_topk(
     base = with_unit_norm(embeddings, vec_col).select(
         F.col(id_col).alias("vec_id"), F.col(cluster_col).alias("cluster"), "_vec", "_norm"
     )
-    dim = len(embeddings.select(vec_col).first()[0])
-    centroids = base.groupBy("cluster").agg(
-        F.array(*[F.round(F.avg(F.col("_vec")[i]), 9) for i in range(dim)]).alias("_cvec")
+    # centroid = per-(cluster, position) mean, reassembled into an array
+    # ordered by position — no driver-side action to discover the dim
+    # (a .first() here would run a job during plan construction)
+    centroids = (
+        base.select("cluster", F.posexplode("_vec").alias("pos", "x"))
+        .groupBy("cluster", "pos")
+        .agg(F.avg("x").alias("m"))
+        .groupBy("cluster")
+        .agg(
+            F.transform(
+                F.array_sort(F.collect_list(F.struct("pos", "m"))),
+                lambda s: F.round(s["m"], 9),
+            ).alias("_cvec")
+        )
     )
     queries = base.where(F.col("vec_id").isin(query_ids)).select(
         F.col("vec_id").alias("query_id"),

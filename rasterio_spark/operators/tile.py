@@ -33,7 +33,7 @@ def tile_pages(
     res: int = DEFAULT_RES,
     tile_shape: tuple[int, int] = DEFAULT_TILE_SHAPE,
     skew: bool = False,
-    geocode: str = "sha2",
+    geocode: str = "auto",
 ) -> DataFrame:
     """pages -> pages + (lon, lat, row, col, cell_id, tile_i, tile_j).
 

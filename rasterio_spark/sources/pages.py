@@ -116,6 +116,23 @@ def with_geocode(pages: DataFrame, skew: bool = False, method: str = "sha2") -> 
     Zipf variant). Tile assignment stays a pure function of (lon, lat)
     either way.
     """
+    if method == "auto":
+        # operators' default: trust materialized lon/lat when the table
+        # carries them (ingest-geocoded — the scale architecture), else
+        # compute the oracle-parity sha2 geocode inline.
+        if "lon" in pages.columns and "lat" in pages.columns:
+            return pages
+        method = "sha2"
+    if method == "stored":
+        # production architecture: geocode ONCE at ingest and persist
+        # (lon, lat) as table columns — the hot path never hashes.
+        # Skew is whatever was baked in at ingest time.
+        if "lon" not in pages.columns or "lat" not in pages.columns:
+            raise ValueError(
+                "geocode method 'stored' requires materialized lon/lat columns "
+                "(run with_geocode at ingest and persist them)"
+            )
+        return pages
     if method == "sha2":
         h = F.sha2(F.col("url"), 256)
         u16 = _hex2long(F.substring(h, 10, 4))  # hexdigest[9:13], 1-indexed substr
