@@ -71,11 +71,13 @@ def ensure_pages(spark, n: int, geocoded: bool = True) -> str:
 
 
 GEOCODE = os.environ.get("BENCH_GEOCODE", "stored")
+STRATEGY = os.environ.get("BENCH_STRATEGY", "auto")
 
 
 def build_headline(spark, pages_path: str, geocode: str = None):
     """The north-star pipeline: pages table -> geocode+tile (res 7) ->
-    broadcast cover PIP join -> join output (salted cell layout)."""
+    PIP join (auto strategy: broadcast R-tree probe at this layer's
+    covered-area fraction) -> join output (salted cell layout)."""
     from rasterio_spark.operators.join import pip_join
     from rasterio_spark.sources.polygons import synth_polygons
 
@@ -90,6 +92,7 @@ def build_headline(spark, pages_path: str, geocode: str = None):
             skew=True,
             salt_buckets=8,
             geocode=geocode or GEOCODE,
+            strategy=STRATEGY,
         )
 
 
@@ -122,7 +125,7 @@ def run_suite(spark, sf_dir: str, n: int) -> dict[str, float]:
     from rasterio_spark.grid.windows import Window
     from rasterio_spark.operators.join import asof_latest, knn_join, pip_join
     from rasterio_spark.operators.merge import merge
-    from rasterio_spark.operators.dedup import minhash_lsh_pairs
+    from rasterio_spark.operators.dedup import dedup_groups, minhash_lsh_pairs
     from rasterio_spark.operators.similarity import cosine_topk
     from rasterio_spark.operators.tile import cell_histogram, tile_counts
     from rasterio_spark.operators.warp import downsample
@@ -160,12 +163,16 @@ def run_suite(spark, sf_dir: str, n: int) -> dict[str, float]:
         polys = synth_polygons()
         timed("tile_counts", lambda: tile_counts(pages).count())
         timed("cell_histogram", lambda: cell_histogram(pages).count())
-        timed("pip_join_broadcast", lambda: pip_join(pages, polys).count())
+        timed(
+            "pip_join_broadcast",
+            lambda: pip_join(pages, polys, strategy="broadcast").count(),
+        )
         timed(
             "pip_join_sort_merge",
             lambda: pip_join(pages, polys, strategy="sort_merge").count(),
         )
         timed("pip_join_rtree", lambda: pip_join(pages, polys, strategy="rtree").count())
+        timed("pip_join_auto", lambda: pip_join(pages, polys).count())
         timed(
             "knn",
             lambda: knn_join(
@@ -176,10 +183,24 @@ def run_suite(spark, sf_dir: str, n: int) -> dict[str, float]:
         timed("window_read_boundless", lambda: read_boundless(cells, Window(-8, -8, 1040, 600)).count())
         timed("merge_first", lambda: merge(layers, "first").count())
         timed("downsample_average", lambda: downsample(cells, 8, "average").count())
+        # production dedup config: xxh64 shingle hashes (one JVM hash
+        # call instead of a MessageDigest allocation — the sha2 variant
+        # exists only for DuckDB-oracle parity) + bucket cap
         timed(
             "minhash_lsh",
             lambda: minhash_lsh_pairs(
-                spark.read.parquet(f"{sf_dir}/documents.parquet")
+                spark.read.parquet(f"{sf_dir}/documents.parquet"),
+                max_bucket=50,
+                hash_method="xxh64",
+            ).count(),
+        )
+        timed(
+            "dedup_groups",
+            lambda: dedup_groups(
+                spark.read.parquet(f"{sf_dir}/documents.parquet"),
+                threshold=0.2,
+                max_bucket=50,
+                hash_method="xxh64",
             ).count(),
         )
         timed(

@@ -10,13 +10,26 @@ each of ours wraps the same operator the matching rio command wraps):
     tile        pages -> cell assignments            (block grid)
     rasterize   polygons -> cells                    (rio rasterize)
     shapes      cells -> region polygons             (rio shapes)
+    sieve       remove small regions                 (rio sieve... part of rio's edit set)
     merge       multi-source composite               (rio merge)
+    stack       concatenate inputs as bands          (rio stack)
     warp        reproject a cell table               (rio warp)
+    overview    build LOD pyramid levels             (rio overview)
     calc        band math expression                 (rio calc)
     sample      point probes                         (rio sample)
+    clip        window/bounds crop                   (rio clip)
+    mask        keep cells inside polygons           (rio mask)
+    blocks      emit the block-window grid           (rio blocks)
+    bounds      grid extent as GeoJSON bbox          (rio bounds)
+    transform   reproject point lists                (rio transform)
+    convert     copy with value dtype cast           (rio convert)
     join        pages x polygons PIP join
     knn         k nearest pages per query point
     bench       run the benchmark suite
+
+Not mapped: rio env/edit-info (dataset sidecar metadata — the engine's
+metadata lives in the catalog/descriptor, not a file header), gdal-era
+format plumbing (insp/shim).
 
 All ops read/write parquet paths. Ship with
 ``spark-submit --py-files rasterio_spark.zip -m rasterio_spark.cli``.
@@ -44,11 +57,19 @@ def _session(args):
 def main(argv: list[str] | None = None) -> int:
     p = argparse.ArgumentParser(prog="rasterio_spark.cli")
     p.add_argument("op", choices=[
-        "info", "tile", "rasterize", "shapes", "merge", "warp", "calc",
-        "sample", "join", "knn", "bench",
+        "info", "tile", "rasterize", "shapes", "sieve", "merge", "stack",
+        "warp", "overview", "calc", "sample", "clip", "mask", "blocks",
+        "bounds", "transform", "convert", "join", "knn", "bench",
     ])
     p.add_argument("--input", help="input parquet path (pages or cells table)")
+    p.add_argument("--inputs", nargs="+", help="multiple inputs (stack)")
     p.add_argument("--output", help="output parquet path")
+    p.add_argument("--window", help="clip: col_off,row_off,width,height")
+    p.add_argument("--factors", default="2,4,8", help="overview: comma factors")
+    p.add_argument("--src-crs", default="EPSG:4326")
+    p.add_argument("--dst-crs", default="EPSG:3857")
+    p.add_argument("--dtype", default="double", help="convert: value cast type")
+    p.add_argument("--block-shape", default="256,256", help="blocks: bh,bw")
     p.add_argument("--cores", type=int, default=None)
     p.add_argument("--res", type=int, default=7)
     p.add_argument("--expression", help="calc: SQL expression over b1..bN")
@@ -93,10 +114,101 @@ def main(argv: list[str] | None = None) -> int:
         from rasterio_spark.operators.shapes import shapes
 
         out = shapes(spark.read.parquet(args.input), connectivity=args.connectivity)
+    elif args.op == "sieve":
+        from rasterio_spark.operators.shapes import sieve
+
+        out = sieve(
+            spark.read.parquet(args.input), size=args.size, connectivity=args.connectivity
+        )
     elif args.op == "merge":
         from rasterio_spark.operators.merge import merge
 
         out = merge(spark.read.parquet(args.input), method=args.method)
+    elif args.op == "stack":
+        from rasterio_spark.operators.merge import stack
+
+        out = stack([spark.read.parquet(pth) for pth in args.inputs])
+    elif args.op == "overview":
+        from pyspark.sql import functions as F
+
+        from rasterio_spark.operators.warp import downsample
+
+        factors = [int(x) for x in args.factors.split(",")]
+        method = args.method if args.method != "first" else "average"
+        parts = [
+            downsample(spark.read.parquet(args.input), f, method).withColumn(
+                "factor", F.lit(f)
+            )
+            for f in factors
+        ]
+        out = parts[0]
+        for x in parts[1:]:
+            out = out.unionByName(x)
+    elif args.op == "clip":
+        from rasterio_spark.grid.windows import Window
+        from rasterio_spark.operators.window_read import read
+
+        co, ro, w, h = (int(x) for x in args.window.split(","))
+        out = read(spark.read.parquet(args.input), Window(co, ro, w, h))
+    elif args.op == "mask":
+        from rasterio_spark.grid.affine import Affine
+        from rasterio_spark.operators.rasterize import mask_cells
+
+        layer = json.loads(args.polygons)
+        df = spark.read.parquet(args.input)
+        height = df.agg({"row": "max"}).first()[0] + 1
+        width = df.agg({"col": "max"}).first()[0] + 1
+        out = mask_cells(
+            df,
+            spark,
+            [pol["geom"] for pol in layer],
+            Affine.identity(),
+            (height, width),
+        )
+    elif args.op == "blocks":
+        from rasterio_spark.grid.cells import block_windows
+
+        df = spark.read.parquet(args.input)
+        height = df.agg({"row": "max"}).first()[0] + 1
+        width = df.agg({"col": "max"}).first()[0] + 1
+        bh, bw = (int(x) for x in args.block_shape.split(","))
+        for (i, j), win in block_windows(height, width, (bh, bw)):
+            print(
+                json.dumps(
+                    {
+                        "block": [i, j],
+                        "window": [win.col_off, win.row_off, win.width, win.height],
+                    }
+                )
+            )
+        if owned:
+            spark.stop()
+        return 0
+    elif args.op == "bounds":
+        df = spark.read.parquet(args.input)
+        r = df.selectExpr(
+            "min(col) AS w", "min(row) AS n0", "max(col) AS e", "max(row) AS s0"
+        ).first()
+        print(json.dumps({"bbox": [r["w"], r["n0"], r["e"] + 1, r["s0"] + 1]}))
+        if owned:
+            spark.stop()
+        return 0
+    elif args.op == "transform":
+        from rasterio_spark.grid.crs import transform_points
+
+        pts = json.loads(args.points)
+        xs, ys = transform_points(
+            args.src_crs, args.dst_crs, [p[0] for p in pts], [p[1] for p in pts]
+        )
+        print(json.dumps([[float(x), float(y)] for x, y in zip(xs, ys)]))
+        if owned:
+            spark.stop()
+        return 0
+    elif args.op == "convert":
+        from pyspark.sql import functions as F
+
+        df = spark.read.parquet(args.input)
+        out = df.withColumn("value", F.col("value").cast(args.dtype))
     elif args.op == "warp":
         from rasterio_spark.operators.warp import downsample
 

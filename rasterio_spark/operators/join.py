@@ -95,11 +95,12 @@ def _polygon_cover(entries, res: int, rings_by_id=None) -> pd.DataFrame:
 _LAYER_CACHE: dict = {}
 
 
-def _layer_index(spark, polygons: list[dict], cover_res: int):
+def _layer_index(spark, polygons: list[dict], cover_res: int | None):
     """Driver-side layer index (entries, rings, flat broadcast, cover
     DF) — built once per (layer, resolution) and memoized: this is the
     'open the polygon layer' step a real deployment does once and
-    reuses across every job against it."""
+    reuses across every job against it. ``cover_res=None`` skips the
+    cover build entirely (the R-tree probe strategy never joins it)."""
     import hashlib
     import json as _json
 
@@ -126,9 +127,11 @@ def _layer_index(spark, polygons: list[dict], cover_res: int):
 
     entries, rings_by_id = prepare_layer(polygons)
     bcast = spark.sparkContext.broadcast(FlatPolygons(rings_by_id))
-    cover_pdf = _polygon_cover(entries, cover_res, rings_by_id)
-    cover = spark.createDataFrame(cover_pdf).withColumnRenamed("cell_id", "_cover_cell")
-    cover = F.broadcast(cover)
+    cover = None
+    if cover_res is not None:
+        cover_pdf = _polygon_cover(entries, cover_res, rings_by_id)
+        cover = spark.createDataFrame(cover_pdf).withColumnRenamed("cell_id", "_cover_cell")
+        cover = F.broadcast(cover)
     val = (entries, rings_by_id, bcast, cover)
     _LAYER_CACHE[key] = val
     return val
@@ -139,7 +142,7 @@ def pip_join(
     polygons: list[dict],
     res: int = DEFAULT_RES,
     skew: bool = False,
-    strategy: str = "broadcast",
+    strategy: str = "auto",
     salt_buckets: int = 0,
     cover_res: int | None = None,
     geocode: str = "auto",
@@ -154,11 +157,32 @@ def pip_join(
     cells are fully interior — those candidates skip the ray-casting
     refine entirely; only the O(perimeter) boundary sliver pays the
     Arrow UDF. The working ``cell_id``/tile columns stay at ``res``.
+
+    ``strategy='auto'``: broadcast cover unless the layer's bbox area
+    exceeds the cover cap even at the WORKING resolution (a cover that
+    can't be built/broadcast at any useful res). Rationale (measured,
+    BENCH r1 vs r2): the cover join transfers only the ~f*n candidate
+    rows to Python, while the R-tree probe pays Arrow for every row —
+    once the cover build is amortized by the layer cache, broadcast
+    wins at every f < 1 (24M pages, f~0.65: 8.7 s vs 17.6 s). R-tree
+    remains the right call for one-shot jobs against huge ad-hoc
+    layers (no cover build at all); 'sort_merge' for covers too big to
+    broadcast but still enumerable.
     """
     spark = pages.sparkSession
     tiled = tile_pages(pages, res=res, skew=skew, geocode=geocode)
 
-    if cover_res is None:
+    if strategy == "auto":
+        probe_entries, _ = prepare_layer(polygons)
+        ny, nx = C.grid_shape(res)
+        est_at_res = sum(
+            max(1, int((r - l) / (C.LON_SPAN / nx)) + 1)
+            * max(1, int((t - b) / (C.LAT_SPAN / ny)) + 1)
+            for _, _, (l, b, r, t) in probe_entries
+        )
+        strategy = "rtree" if est_at_res > 2_000_000 else "broadcast"
+
+    if strategy != "rtree" and cover_res is None:
         cover_res = res + 3
         # cap the cover size: total bbox area in cells at cover_res
         probe_entries, _ = prepare_layer(polygons)
@@ -173,7 +197,9 @@ def pip_join(
                 break
             cover_res -= 1
 
-    entries, rings_by_id, bcast, cover = _layer_index(spark, polygons, cover_res)
+    entries, rings_by_id, bcast, cover = _layer_index(
+        spark, polygons, None if strategy == "rtree" else cover_res
+    )
 
     if strategy == "rtree":
         # broadcast STR R-tree over polygon bboxes; one mapInPandas pass

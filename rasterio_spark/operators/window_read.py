@@ -112,7 +112,53 @@ def read_boundless(
     )
 
 
-def dataset_mask(cells: DataFrame) -> DataFrame:
-    """Per-cell validity = OR over bands (reference mask precedence
-    collapses to this with explicit valid columns)."""
+def dataset_mask(
+    cells: DataFrame,
+    alpha_band: int | None = None,
+    dataset_valid: DataFrame | None = None,
+) -> DataFrame:
+    """Per-cell validity with the reference's precedence
+    (_io.pyx:903-995): per-dataset mask > alpha band > OR over band
+    masks. With the engine's explicit valid columns that is:
+
+    - ``dataset_valid`` given (a (row, col, valid) DataFrame — the
+      analogue of an external .msk sidecar): it wins outright;
+    - else ``alpha_band`` given: that band's valid column IS the mask;
+    - else: OR over the bands' valid flags (the default r1 behavior).
+    """
+    if dataset_valid is not None:
+        return dataset_valid.select("row", "col", F.col("valid").cast("boolean").alias("valid"))
+    if alpha_band is not None:
+        return cells.where(F.col("band") == alpha_band).select("row", "col", "valid")
     return cells.groupBy("row", "col").agg(F.max(F.col("valid").cast("int")).cast("boolean").alias("valid"))
+
+
+def pad(cells: DataFrame, descriptor, pad_width: int, fill_value: float = 0.0):
+    """rasterio.pad (reference __init__.py:458-488): grow the layer by
+    ``pad_width`` cells on every side. Returns (padded_descriptor,
+    padded_cells) where the cells are re-origined so (0, 0) is the new
+    padded corner, and the transform shifts by -pad_width pixels on
+    both axes (c -= pad*a, f -= pad*e — the reference's exact rule)."""
+    import dataclasses
+
+    from rasterio_spark.grid.affine import Affine
+
+    w = Window(
+        -pad_width, -pad_width, descriptor.width + 2 * pad_width, descriptor.height + 2 * pad_width
+    )
+    out = read_boundless(cells, w, fill_value=fill_value)
+    out = out.select(
+        "band",
+        (F.col("row") + pad_width).cast("long").alias("row"),
+        (F.col("col") + pad_width).cast("long").alias("col"),
+        "value",
+        "valid",
+    )
+    t = descriptor.transform
+    new_desc = dataclasses.replace(
+        descriptor,
+        width=descriptor.width + 2 * pad_width,
+        height=descriptor.height + 2 * pad_width,
+        transform=Affine(t.a, t.b, t.c - pad_width * t.a, t.d, t.e, t.f - pad_width * t.e),
+    )
+    return new_desc, out
