@@ -292,8 +292,8 @@ def q_text_features(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
     return with_text_features(docs).select(
-        "doc_id", "n_tokens", "avg_token_len", "stopword_ratio",
-        "alpha_ratio", "quality_score", "fingerprint",
+        "doc_id", "n_tokens", "n_bpe_tokens", "avg_token_len",
+        "stopword_ratio", "alpha_ratio", "quality_score", "fingerprint",
     )
 
 
@@ -371,6 +371,18 @@ def q_ivf_topk_fullprobe(spark: SparkSession, sf_dir: str) -> DataFrame:
         k=ANN_K,
         nprobe=10,
     )
+
+
+def q_kmeans_assign(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Distributed Lloyd's k-means training (the IVF index's missing
+    trainer) — rows-only check (iterative float means are not ANSI-SQL
+    reproducible; convergence/recall is pytest-verified)."""
+    from rasterio_spark.operators.similarity import kmeans_fit
+
+    assign, _ = kmeans_fit(
+        spark.read.parquet(f"{sf_dir}/embeddings.parquet"), k=8, iters=3
+    )
+    return assign
 
 
 def q_embedding_neardup(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -558,6 +570,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "simhash": q_simhash,
         "cosine_topk": q_cosine_topk,
         "ivf_topk_fullprobe": q_ivf_topk_fullprobe,
+        "kmeans_assign": q_kmeans_assign,
         "embedding_neardup": q_embedding_neardup,
         "html_stats": q_html_stats,
         "image_features_stub": q_image_features_stub,
@@ -763,6 +776,7 @@ def oracle_sql() -> dict[str, str]:
     sqls["text_features"] = f"""
         SELECT doc_id,
                {tf['n_tokens']} AS n_tokens,
+               {tf['n_bpe_tokens']} AS n_bpe_tokens,
                {tf['avg_token_len']} AS avg_token_len,
                {tf['stopword_ratio']} AS stopword_ratio,
                {tf['alpha_ratio']} AS alpha_ratio,

@@ -26,6 +26,20 @@ def token_count_col(text: Column) -> Column:
     return F.size(tokens_col(text))
 
 
+# BPE-ish pre-tokenizer regex (GPT-2-style shape, engine-portable
+# subset: letter runs, single digits, punctuation runs — Java and RE2
+# agree on this class-only pattern)
+BPE_TOKEN_RE = "[a-zA-Z]+|[0-9]|[^a-zA-Z0-9\\s]+"
+
+
+def bpe_token_count_col(text: Column) -> Column:
+    return F.regexp_count(text, F.lit(BPE_TOKEN_RE))
+
+
+def bpe_token_count_sql(text_col: str = "text") -> str:
+    return f"len(regexp_extract_all({text_col}, '{BPE_TOKEN_RE}'))"
+
+
 def _stop_hits_expr(lang: str) -> str:
     words = ", ".join(f"'{w}'" for w in STOPWORDS[lang])
     return f"size(filter(split(text, ' '), x -> x IN ({words})))"
@@ -62,6 +76,7 @@ def with_text_features(docs: DataFrame, text_col: str = "text") -> DataFrame:
     fingerprint = F.substring(F.sha2(t, 256), 1, 16)
     return (
         docs.withColumn("n_tokens", n_tokens)
+        .withColumn("n_bpe_tokens", bpe_token_count_col(t))
         .withColumn("avg_token_len", avg_tok)
         .withColumn("stopword_ratio", stop_ratio)
         .withColumn("alpha_ratio", alpha_ratio)
@@ -80,6 +95,7 @@ def text_features_sql(text_col: str = "text") -> dict[str, str]:
     alpha = f"length(regexp_replace({t}, '[^a-zA-Z]', '', 'g'))"
     return {
         "n_tokens": n_tokens,
+        "n_bpe_tokens": bpe_token_count_sql(t),
         "avg_token_len": f"round(({n_chars} - {n_tokens} + 1) / {n_tokens}, 6)",
         "stopword_ratio": f"round({stop_hits} / {n_tokens}, 6)",
         "alpha_ratio": f"round({alpha} / {n_chars}, 6)",

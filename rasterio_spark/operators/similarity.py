@@ -139,6 +139,69 @@ def ivf_topk(
     )
 
 
+def kmeans_fit(
+    embeddings: DataFrame,
+    k: int,
+    iters: int = 5,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> tuple[DataFrame, DataFrame]:
+    """Distributed Lloyd's k-means as pure DataFrame ops — the training
+    step the IVF index needs when no cluster column exists.
+
+    init: the k vectors with the smallest ids (deterministic);
+    iterate: assign = nearest centroid by squared euclidean (broadcast
+    crossJoin with k centroids — O(n*k) rows, k is small; ties break to
+    the smaller cluster id via min(struct)); update = per-(cluster,
+    position) mean reassembled into arrays (posexplode + groupBy), the
+    same shuffle shape as ivf_topk's centroid step. No driver-side data
+    moves; each iteration is two shuffles.
+
+    Returns (assignments (vec_id, cluster), centroids (cluster, _cvec)).
+    """
+    base = with_unit_norm(embeddings, vec_col).select(
+        F.col(id_col).alias("vec_id"), "_vec"
+    )
+    from pyspark.sql import Window as _W
+
+    # distributed take-ordered for the seeds, THEN a window over only k
+    # rows (a global row_number over the full table would funnel it
+    # through one partition)
+    seeds = base.orderBy("vec_id").limit(k)
+    cent = seeds.withColumn("_rn", F.row_number().over(_W.orderBy("vec_id"))).select(
+        (F.col("_rn") - 1).cast("int").alias("cluster"), F.col("_vec").alias("_cvec")
+    )
+    d2 = F.aggregate(
+        F.zip_with(F.col("_vec"), F.col("_cvec"), lambda x, y: (x - y) * (x - y)),
+        F.lit(0.0),
+        lambda acc, v: acc + v,
+    )
+    assign = None
+    for _ in range(iters):
+        joined = base.crossJoin(F.broadcast(cent))
+        assign = (
+            joined.withColumn("_d2", F.round(d2, 9))
+            .groupBy("vec_id")
+            .agg(
+                F.min(F.struct(F.col("_d2"), F.col("cluster"))).getField("cluster").alias("cluster")
+            )
+        )
+        cent = (
+            base.join(assign, "vec_id")
+            .select("cluster", F.posexplode("_vec").alias("pos", "x"))
+            .groupBy("cluster", "pos")
+            .agg(F.avg("x").alias("m"))
+            .groupBy("cluster")
+            .agg(
+                F.transform(
+                    F.array_sort(F.collect_list(F.struct("pos", "m"))),
+                    lambda s: F.round(s["m"], 9),
+                ).alias("_cvec")
+            )
+        )
+    return assign, cent
+
+
 def neardup_pairs(
     embeddings: DataFrame, tau: float = 0.9, id_col: str = "vec_id", vec_col: str = "embedding",
     cluster_col: str | None = "label",

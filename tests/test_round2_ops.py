@@ -161,3 +161,37 @@ def test_ivf_centroids_no_driver_action(spark):
     v = ivf.sort_values(["query_id", "rank"]).reset_index(drop=True)
     assert (b["vec_id"] == v["vec_id"]).all()
     assert np.allclose(b["cos_sim"], v["cos_sim"])
+
+
+def test_kmeans_fit_separated_clusters(spark):
+    """Three well-separated blobs -> k-means recovers the partition."""
+    import numpy as np
+
+    from rasterio_spark.operators.similarity import kmeans_fit
+
+    rng = np.random.default_rng(3)
+    centers = {0: (0.0, 0.0), 1: (50.0, 0.0), 2: (0.0, 50.0)}
+    rows = []
+    for i in range(60):
+        c = i % 3
+        cx, cy = centers[c]
+        rows.append((i, [cx + rng.normal(0, 0.5), cy + rng.normal(0, 0.5)]))
+    emb = spark.createDataFrame(rows, "vec_id long, embedding array<double>")
+    assign, cent = kmeans_fit(emb, k=3, iters=4)
+    pdf = assign.toPandas()
+    # all members of a true blob share one k-means cluster
+    by_true = {}
+    for r in pdf.itertuples():
+        by_true.setdefault(int(r.vec_id) % 3, set()).add(int(r.cluster))
+    assert all(len(s) == 1 for s in by_true.values()), by_true
+    assert len({next(iter(s)) for s in by_true.values()}) == 3
+    assert cent.count() == 3
+
+
+def test_bpe_token_count(spark):
+    from rasterio_spark.functions.text import bpe_token_count_col
+
+    df = spark.createDataFrame([("Hello, world 42!",)], "text string")
+    n = df.select(bpe_token_count_col(F.col("text")).alias("n")).first()["n"]
+    # Hello / , / world / 4 / 2 / !  -> 6
+    assert n == 6

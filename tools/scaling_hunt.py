@@ -34,6 +34,19 @@ sys.path.insert(0, REPO)
 LOG = os.path.join(REPO, "BENCH", "scaling_log.jsonl")
 
 
+def _burn_unit(_):
+    """One fixed CPU-bound work unit (module-level: Pool-picklable)."""
+    import numpy as np
+
+    rng = np.random.default_rng(1)
+    a = rng.normal(size=(600, 600))
+    t0 = time.perf_counter()
+    for _ in range(30):
+        a = a @ a
+        a /= np.abs(a).max() + 1.0
+    return time.perf_counter() - t0
+
+
 def control_pair() -> tuple[float, float, float]:
     """Pure-numpy multi-process burn at 8 and 32 workers: the host's
     OWN 8->32 scaling ceiling in this window (single-box local[8] vs
@@ -41,17 +54,7 @@ def control_pair() -> tuple[float, float, float]:
     executor clusters of the north rule). Returns (tp8, tp32, eff)."""
     import multiprocessing as mp
 
-    import numpy as np
-
-    def work(_):
-        rng = np.random.default_rng(1)
-        a = rng.normal(size=(600, 600))
-        t0 = time.perf_counter()
-        for _ in range(30):
-            a = a @ a
-            a /= np.abs(a).max() + 1.0
-        return time.perf_counter() - t0
-
+    work = _burn_unit
     out = {}
     for nproc in (8, 32):
         with mp.Pool(nproc) as p:
