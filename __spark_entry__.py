@@ -297,6 +297,16 @@ def q_text_features(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_rolling_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Karp-Rabin rolling document fingerprint (doc_id, rolling_fp)."""
+    from rasterio_spark.functions.text import rolling_fingerprint_col
+
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    return docs.select(
+        "doc_id", rolling_fingerprint_col("text").alias("rolling_fp")
+    )
+
+
 def q_lang_id(spark: SparkSession, sf_dir: str) -> DataFrame:
     from rasterio_spark.functions.text import with_lang_id
 
@@ -474,6 +484,14 @@ def q_streaming_tile_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
     return out.where(F.col("window_start") <= F.lit(cutoff))
 
 
+def q_sessionize(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-cell event-time sessionization (batch form; the stateful
+    streaming twin is pytest-verified against this exact logic)."""
+    from rasterio_spark.streaming.pipeline import sessionize_batch
+
+    return sessionize_batch(_pages(spark, sf_dir), res=TILE_RES, gap_minutes=30)
+
+
 def q_merge_sources_golden(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Full merge driver (union grid + win_align placement) on the
     reference's three-raster fixture, method=sum (test_merge.py:59-116)."""
@@ -561,6 +579,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "reproject_average": q_reproject_average,
         "transform_points_3857": q_transform_points_3857,
         "text_features": q_text_features,
+        "rolling_fingerprint": q_rolling_fingerprint,
         "lang_id": q_lang_id,
         "dedup_exact": q_dedup_exact,
         "ngram_jaccard": q_ngram_jaccard,
@@ -578,6 +597,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "shapes_summary": q_shapes_summary,
         "sieve": q_sieve,
         "calc": q_calc,
+        "sessionize": q_sessionize,
         "streaming_tile_counts": q_streaming_tile_counts,
         "merge_sources_golden": q_merge_sources_golden,
     }
@@ -784,6 +804,9 @@ def oracle_sql() -> dict[str, str]:
                {tf['fingerprint']} AS fingerprint
         FROM documents
     """
+    from rasterio_spark.functions.text import rolling_fingerprint_sql
+
+    sqls["rolling_fingerprint"] = rolling_fingerprint_sql()
     sqls["lang_id"] = f"SELECT doc_id, {lang_id_sql()} AS pred_lang FROM documents"
     from rasterio_spark.operators.dedup import dedup_groups_sql
 
@@ -828,6 +851,13 @@ def oracle_sql() -> dict[str, str]:
     sqls["calc"] = f"WITH cells AS ({_CELLS3_SQL}) " + calc_sql(
         "0.95 * b1 + 0.05 * b2 + 10", bands=[1, 2, 3]
     )
+    from rasterio_spark.streaming.pipeline import sessionize_batch_sql
+
+    sess_sql = sessionize_batch_sql(
+        f"SELECT {cell} AS cell_id, warc_ts FROM pages", gap_minutes=30
+    ).replace("WITH ev AS", ", ev AS", 1)
+    sqls["sessionize"] = f"{_pages_cte()} {sess_sql}"
+
     lon_sql2, lat_sql2 = geocode_sql()
     cell2 = encode_sql(lon_sql2, lat_sql2, TILE_RES)
     sqls["streaming_tile_counts"] = f"""

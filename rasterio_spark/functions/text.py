@@ -40,6 +40,47 @@ def bpe_token_count_sql(text_col: str = "text") -> str:
     return f"len(regexp_extract_all({text_col}, '{BPE_TOKEN_RE}'))"
 
 
+# Karp-Rabin rolling document fingerprint over whitespace tokens:
+# h = fold(h * B + token_hash) mod P. B and P chosen so every
+# intermediate product fits in int64 (B, P < 2^31 -> product < 2^62),
+# making the exact same integers computable in DuckDB.
+FP_P = 2_147_483_647  # 2^31 - 1
+FP_B = 1_000_003
+
+
+def rolling_fingerprint_col(text_col: str = "text") -> Column:
+    """Left fold over whitespace tokens, pure JVM expression."""
+    tok_h = "CAST(conv(substring(sha2(x, 256), 1, 7), 16, 10) AS BIGINT)"
+    return F.expr(
+        f"aggregate(split({text_col}, ' '), CAST(0 AS BIGINT), "
+        f"(h, x) -> (h * {FP_B} + {tok_h}) % {FP_P})"
+    )
+
+
+def rolling_fingerprint_sql(table: str = "documents", text_col: str = "text") -> str:
+    """DuckDB twin: the same left fold as a recursive CTE (DuckDB's
+    list_reduce has no typed init accumulator), one iteration per token
+    position — exact integer parity with the Spark aggregate()."""
+    tok_h = "CAST(concat('0x', substr(sha256(d.toks[f.i + 1]), 1, 7)) AS BIGINT)"
+    return f"""
+        WITH RECURSIVE d AS (
+          SELECT doc_id, string_split({text_col}, ' ') AS toks FROM {table}
+        ),
+        fp(doc_id, i, h) AS (
+          SELECT doc_id, 0, CAST(0 AS BIGINT) FROM d
+          UNION ALL
+          SELECT f.doc_id, f.i + 1,
+                 (f.h * {FP_B} + {tok_h}) % {FP_P}
+          FROM fp f JOIN d ON d.doc_id = f.doc_id
+          WHERE f.i < len(d.toks)
+        )
+        SELECT f.doc_id, f.h AS rolling_fp
+        FROM fp f
+        JOIN d ON d.doc_id = f.doc_id
+        WHERE f.i = len(d.toks)
+    """
+
+
 def _stop_hits_expr(lang: str) -> str:
     words = ", ".join(f"'{w}'" for w in STOPWORDS[lang])
     return f"size(filter(split(text, ' '), x -> x IN ({words})))"

@@ -75,6 +75,144 @@ def run_stream_to_memory(stream_df: DataFrame, name: str = "stream_out") -> Data
     return stream_df.sparkSession.sql(f"SELECT * FROM {name}")
 
 
+def sessionize_batch(pages: DataFrame, res: int = 7, gap_minutes: int = 30) -> DataFrame:
+    """Batch sessionization: per-cell event-time sessions split at gaps
+    > gap_minutes — (cell_id, session_start, session_end, n_pages).
+    Pure window functions (lag -> new-session flag -> running session
+    index -> groupBy); one shuffle on cell_id. The SQL twin is exact,
+    so this is the oracle for the stateful streaming variant."""
+    from pyspark.sql import Window as W
+
+    from rasterio_spark.functions import cell_exprs as CE
+    from rasterio_spark.sources.pages import with_geocode
+
+    geo = with_geocode(pages)
+    cell = CE.encode_cols(F.col("lon"), F.col("lat"), res)
+    df = geo.select(cell.alias("cell_id"), "warc_ts")
+    w = W.partitionBy("cell_id").orderBy("warc_ts")
+    gap = gap_minutes * 60
+    df = df.withColumn(
+        "_new",
+        (
+            F.col("warc_ts").cast("long")
+            - F.lag(F.col("warc_ts").cast("long")).over(w)
+            > gap
+        )
+        .cast("int"),
+    )
+    df = df.withColumn("_sid", F.sum(F.coalesce("_new", F.lit(0))).over(w))
+    return df.groupBy("cell_id", "_sid").agg(
+        F.min("warc_ts").alias("session_start"),
+        F.max("warc_ts").alias("session_end"),
+        F.count(F.lit(1)).alias("n_pages"),
+    ).drop("_sid")
+
+
+def sessionize_batch_sql(pages_cte_cell: str, gap_minutes: int = 30) -> str:
+    """DuckDB twin; ``pages_cte_cell`` selects (cell_id, warc_ts)."""
+    gap = gap_minutes * 60
+    return f"""
+        WITH ev AS ({pages_cte_cell}),
+        flagged AS (
+          SELECT cell_id, warc_ts,
+                 CASE WHEN epoch(warc_ts) - epoch(lag(warc_ts) OVER (
+                        PARTITION BY cell_id ORDER BY warc_ts)) > {gap}
+                      THEN 1 ELSE 0 END AS new_sess
+          FROM ev
+        ),
+        sid AS (
+          SELECT cell_id, warc_ts,
+                 sum(new_sess) OVER (
+                   PARTITION BY cell_id ORDER BY warc_ts
+                   ROWS UNBOUNDED PRECEDING) AS s
+          FROM flagged
+        )
+        SELECT cell_id,
+               min(warc_ts) AS session_start,
+               max(warc_ts) AS session_end,
+               count(*) AS n_pages
+        FROM sid GROUP BY cell_id, s
+    """
+
+
+def sessionize_stream(
+    pages_stream: DataFrame,
+    res: int = 7,
+    gap_minutes: int = 30,
+    watermark: str = "3 hours",
+) -> DataFrame:
+    """Custom STATEFUL streaming operator (north_star 'custom stateful
+    operators' via applyInPandasWithState): per-cell event-time
+    sessions with a gap timeout. State = the one open session per cell
+    (start, end, count, all epoch seconds); a batch's events merge into
+    it (sessions closed by in-batch gaps emit immediately); the event-
+    time timeout fires once the watermark passes session_end + gap and
+    emits the final session. Emitted rows match sessionize_batch for
+    every session old enough to be closed."""
+    from pyspark.sql.streaming.state import GroupState, GroupStateTimeout
+
+    import pandas as pd
+
+    from rasterio_spark.functions import cell_exprs as CE
+    from rasterio_spark.sources.pages import with_geocode
+
+    gap = gap_minutes * 60
+    geo = with_geocode(pages_stream)
+    cell = CE.encode_cols(F.col("lon"), F.col("lat"), res)
+    df = (
+        geo.select(cell.alias("cell_id"), "warc_ts")
+        .withWatermark("warc_ts", watermark)
+    )
+
+    def fn(key, pdfs, state: GroupState):
+        cell_id = key[0]
+        rows = []
+        if state.hasTimedOut:
+            s, e, n = state.get
+            rows.append((cell_id, s, e, n))
+            state.remove()
+        else:
+            ts: list[int] = []
+            for pdf in pdfs:
+                ts.extend((pdf["warc_ts"].astype("int64") // 1_000_000_000).tolist())
+            ts.sort()
+            if state.exists:
+                s, e, n = state.get
+            else:
+                s = e = None
+                n = 0
+            for t in ts:
+                if s is None:
+                    s, e, n = t, t, 1
+                elif t - e > gap:
+                    rows.append((cell_id, s, e, n))
+                    s, e, n = t, t, 1
+                else:
+                    e = max(e, t)
+                    n += 1
+            if s is not None:
+                state.update((int(s), int(e), int(n)))
+                state.setTimeoutTimestamp((int(e) + gap) * 1000)
+        out = pd.DataFrame(rows, columns=["cell_id", "s", "e", "n"])
+        yield pd.DataFrame(
+            {
+                "cell_id": out["cell_id"].astype("int64"),
+                "session_start": pd.to_datetime(out["s"], unit="s"),
+                "session_end": pd.to_datetime(out["e"], unit="s"),
+                "n_pages": out["n"].astype("int64"),
+            }
+        )
+
+    return df.groupBy("cell_id").applyInPandasWithState(
+        fn,
+        outputStructType="cell_id long, session_start timestamp, "
+        "session_end timestamp, n_pages long",
+        stateStructType="s long, e long, n long",
+        outputMode="append",
+        timeoutConf=GroupStateTimeout.EventTimeTimeout,
+    )
+
+
 def streaming_pip_join_foreach_batch(
     pages_stream: DataFrame,
     polygons: list[dict],
