@@ -72,6 +72,13 @@ def ensure_pages(spark, n: int, geocoded: bool = True) -> str:
 
 GEOCODE = os.environ.get("BENCH_GEOCODE", "stored")
 STRATEGY = os.environ.get("BENCH_STRATEGY", "auto")
+# Cover resolution for the headline join. res 7 (= the working tiling
+# res) measured best at the bench scale: the broadcast build is ~20k
+# rows (sub-second, so the per-run serial BroadcastExchange stops
+# dominating 32-core walls) at the cost of more boundary-cell refine —
+# which is parallel. At cluster scale with hour-long jobs the res+3
+# interior-heavy cover amortizes and wins; both are one parameter.
+COVER_RES = int(os.environ.get("BENCH_COVER_RES", "7"))
 
 
 def build_headline(spark, pages_path: str, geocode: str = None):
@@ -93,6 +100,7 @@ def build_headline(spark, pages_path: str, geocode: str = None):
             salt_buckets=8,
             geocode=geocode or GEOCODE,
             strategy=STRATEGY,
+            cover_res=COVER_RES,
         )
 
 

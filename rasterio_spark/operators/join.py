@@ -93,6 +93,59 @@ def _polygon_cover(entries, res: int, rings_by_id=None) -> pd.DataFrame:
 
 
 _LAYER_CACHE: dict = {}
+_COVER_ARRAY_CACHE: dict = {}
+
+
+def _cover_arrays(spark, polygons: list[dict], cover_res: int) -> dict:
+    """Worker-resident cover index for strategy='probe': the cover
+    table as sorted flat numpy arrays (unique cells + per-cell slices
+    of (polygon_id, interior, value)), shipped via a Python broadcast —
+    sent to each executor ONCE per session and reused by every job,
+    unlike a per-action JVM BroadcastExchange."""
+    import hashlib
+    import json as _json
+
+    key = (
+        hashlib.sha256(
+            _json.dumps(
+                [(p["polygon_id"], p.get("value"), p.get("geom")) for p in polygons],
+                sort_keys=True,
+                default=list,
+            ).encode()
+        ).hexdigest(),
+        cover_res,
+        "arrays",
+    )
+    hit = _COVER_ARRAY_CACHE.get(key)
+    if hit is not None:
+        return hit
+    entries, rings_by_id = prepare_layer(polygons)
+    pdf = _polygon_cover(entries, cover_res, rings_by_id)
+    order = np.argsort(pdf["cell_id"].values, kind="stable")
+    cells = pdf["cell_id"].values[order]
+    pids = pdf["polygon_id"].values[order].astype(np.int64)
+    inter = pdf["interior"].values[order].astype(bool)
+    vals = pdf["poly_value"].values[order].astype("float64")
+    uniq, starts = np.unique(cells, return_index=True)
+    ends = np.append(starts[1:], len(cells))
+    bc = spark.sparkContext.broadcast((uniq, starts, ends, pids, inter, vals))
+    out = {"cells": uniq, "bc": bc}
+    _COVER_ARRAY_CACHE[key] = out
+    return out
+
+
+def _coarse_prefilter_cells(cover_cells: np.ndarray, cover_res: int, max_lit: int = 8192):
+    """Coarsen the covered-cell set until it fits a codegen'd literal
+    IN-set (<= max_lit entries): returns (prefilter_res, cell ids)."""
+    res = cover_res
+    _, rows, cols = C.decode(cover_cells)
+    while res > 0:
+        ids = np.unique(C.cell_id_from_rowcol(rows, cols, res))
+        if len(ids) <= max_lit:
+            return res, ids
+        res -= 1
+        rows, cols = rows >> 1, cols >> 1
+    return 0, np.unique(C.cell_id_from_rowcol(rows, cols, 0))
 
 
 def _layer_index(spark, polygons: list[dict], cover_res: int | None):
@@ -237,6 +290,83 @@ def pip_join(
                 yield out
 
         return tiled.mapInPandas(probe, schema=out_schema)
+
+    if strategy == "probe":
+        # Cover-probe: the same filter-and-refine candidates as the
+        # broadcast strategy, but the cover lives as a WORKER-RESIDENT
+        # index (Python broadcast, shipped once per session) instead of
+        # a per-action BroadcastExchange, and a coarse literal IN-set
+        # prefilter prunes non-candidate pages JVM-side before Arrow.
+        # Plan: scan -> codegen'd IN filter -> one mapInPandas. No JVM
+        # join, no exchange, nothing serial per run — the layout that
+        # keeps 8->32-core scaling at the host ceiling (BENCH r2).
+        from rasterio_spark.functions import cell_exprs as CE
+
+        entries, rings_by_id, bcast, _ = _layer_index(spark, polygons, None)
+        cov = _cover_arrays(spark, polygons, cover_res)
+        pre_res, pre_cells = _coarse_prefilter_cells(cov["cells"], cover_res)
+        pre_col = CE.encode_cols(F.col("lon"), F.col("lat"), pre_res)
+        # blob columns (html/text) never enter the Python stage: a
+        # mapInPandas must Arrow-transfer every input column, so the
+        # probe emits join KEYS + metadata only (rejoin by url when the
+        # payload is needed — at scale you never move blobs through a
+        # spatial join). The broadcast strategy keeps full columns
+        # because its UDF is a narrow 4-column filter.
+        slim = tiled.drop("html", "text")
+        pre = slim.where(pre_col.isin([int(x) for x in pre_cells]))
+
+        from pyspark.sql.types import DoubleType, LongType, StructField, StructType
+
+        out_schema = StructType(
+            list(slim.schema.fields)
+            + [StructField("polygon_id", LongType()), StructField("poly_value", DoubleType())]
+        )
+        cov_bc = cov["bc"]
+
+        def probe_cover(batches):
+            cc, cs, ce, cpid, cint, cval = cov_bc.value
+            flat = bcast.value
+            for pdf in batches:
+                if not len(pdf):
+                    continue
+                lon = pdf["lon"].values
+                lat = pdf["lat"].values
+                r, c = C.rowcol_of(lon, lat, cover_res)
+                cells = C.cell_id_from_rowcol(r, c, cover_res)
+                idx = np.searchsorted(cc, cells)
+                idx[idx >= len(cc)] = 0
+                hit = cc[idx] == cells
+                rows = np.nonzero(hit)[0]
+                if not len(rows):
+                    continue
+                s = cs[idx[rows]]
+                cnt = ce[idx[rows]] - s
+                rep = np.repeat(rows, cnt)
+                within = np.arange(int(cnt.sum())) - np.repeat(np.cumsum(cnt) - cnt, cnt)
+                ppos = np.repeat(s, cnt) + within
+                pids = cpid[ppos]
+                inter = cint[ppos]
+                vals = cval[ppos]
+                bnd = ~inter
+                ok = flat.contains(pids[bnd], lon[rep[bnd]], lat[rep[bnd]])
+                keep_rows = np.concatenate([rep[inter], rep[bnd][ok]])
+                keep_pids = np.concatenate([pids[inter], pids[bnd][ok]])
+                keep_vals = np.concatenate([vals[inter], vals[bnd][ok]])
+                if not len(keep_rows):
+                    continue
+                out = pdf.iloc[keep_rows].reset_index(drop=True)
+                out["polygon_id"] = keep_pids.astype("int64")
+                out["poly_value"] = keep_vals.astype("float64")
+                yield out
+
+        out = pre.mapInPandas(probe_cover, schema=out_schema)
+        if salt_buckets:
+            out = out.repartition(
+                spark.sparkContext.defaultParallelism,
+                F.col("cell_id"),
+                F.pmod(F.hash("url"), F.lit(salt_buckets)),
+            )
+        return out
 
     from rasterio_spark.functions import cell_exprs as CE
 

@@ -31,6 +31,7 @@ import time
 
 REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
 sys.path.insert(0, REPO)
+sys.path.insert(0, os.path.join(REPO, "tools"))
 LOG = os.path.join(REPO, "BENCH", "scaling_log.jsonl")
 
 
@@ -104,9 +105,16 @@ def run_session(cpus: int, n: int, runs: int = 4) -> dict:
 
 def hunt(cycles: int, n: int) -> None:
     os.makedirs(os.path.dirname(LOG), exist_ok=True)
+    import engine_control as ec
+
     for c in range(cycles):
         probe0 = host_probe()
         ctp8, ctp32, ceff = control_pair()
+        # JVM codegen control: the ceiling any Spark job can reach in
+        # this window (pure compute, no I/O/shuffle/Python)
+        j8 = ec.one(8, 400_000_000)
+        j32 = ec.one(32, 400_000_000)
+        jeff = (j8 / j32) / 4.0
         r8 = run_session(8, n)
         probe1 = host_probe()
         r32 = run_session(32, n)
@@ -119,12 +127,13 @@ def hunt(cycles: int, n: int) -> None:
             "probe_mid": round(probe1, 3),
             "probe_after": round(probe2, 3),
             "control_eff": round(ceff, 4),
+            "jvm_control_eff": round(jeff, 4),
             "n": n,
             "rows": rows,
             "sec8": r8["sec"],
             "sec32": r32["sec"],
             "eff": round(eff, 4),
-            "calibrated_eff": round(min(eff / ceff, 1.0), 4) if ceff else None,
+            "calibrated_eff": round(min(eff / jeff, 1.0), 4) if jeff else None,
             "ts": time.strftime("%H:%M:%S"),
         }
         with open(LOG, "a") as f:
