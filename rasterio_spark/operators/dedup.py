@@ -297,7 +297,9 @@ def lsh_verified_pairs(
     with true Jaccard >= threshold. Cost is O(candidate pairs x shared
     shingles), never all-pairs."""
     cand = minhash_lsh_pairs(docs, n, text_col, id_col, max_bucket, hash_method)
-    sh = shingle_docs(docs, n, text_col, id_col)
+    # the shingle table feeds the signature stage (inside cand), the
+    # sizes and BOTH sides of the intersection join — persist it once
+    sh = shingle_docs(docs, n, text_col, id_col).persist()
     sizes = sh.groupBy("doc_id").agg(F.count(F.lit(1)).alias("n_sh"))
     sa = sh.select(F.col("doc_id").alias("doc_a"), "shingle")
     sb = sh.select(F.col("doc_id").alias("doc_b"), "shingle")
@@ -319,18 +321,49 @@ def lsh_verified_pairs(
     return j.select("doc_a", "doc_b", "jaccard")
 
 
-def connected_components_pairs(pairs: DataFrame, max_iter: int = 25) -> DataFrame:
-    """(node, label) — connected components over an edge list by
-    min-label propagation: each iteration every node takes the minimum
-    label among itself and its neighbors; converged when nothing
-    changes. O(component diameter) Spark jobs — near-dup clusters are
-    shallow (dups of dups of one original), so this is 2-4 rounds in
-    practice; each round is one join + one groupBy, fully distributed
-    (no edge list ever reaches the driver)."""
+def connected_components_pairs(
+    pairs: DataFrame, max_iter: int = 25, driver_threshold: int = 1_000_000
+) -> DataFrame:
+    """(node, label) — connected components over an edge list.
+
+    Adaptive: the verified near-dup edge set is usually FAR smaller
+    than the corpus (it only contains actual duplicates), so when it
+    fits under ``driver_threshold`` edges we collect it and run an
+    exact union-find in milliseconds — the same hybrid a production
+    dedup uses. Above the threshold: distributed min-label propagation
+    (each iteration every node takes the min label among itself and
+    its neighbors; one join + one groupBy per round, O(component
+    diameter) rounds — shallow for near-dup clusters; nothing
+    driver-side)."""
     edges = pairs.select(F.col("doc_a").alias("src"), F.col("doc_b").alias("dst"))
+    spark = pairs.sparkSession
+    if driver_threshold:
+        small = edges.limit(driver_threshold + 1).collect()
+        if len(small) <= driver_threshold:
+            uf: dict[int, int] = {}
+
+            def find(x: int) -> int:
+                r = x
+                while uf.get(r, r) != r:
+                    r = uf[r]
+                while uf.get(x, x) != x:
+                    uf[x], x = r, uf[x]
+                return r
+
+            for e in small:
+                ra, rb = find(e["src"]), find(e["dst"])
+                if ra != rb:
+                    lo, hi = (ra, rb) if ra < rb else (rb, ra)
+                    uf[hi] = lo
+            nodes = {n for e in small for n in (e["src"], e["dst"])}
+            rows = [(int(n), int(find(n))) for n in nodes]
+            return spark.createDataFrame(rows, "node long, label long")
+    # materialize the (tiny) edge list once: every loop iteration and
+    # convergence probe below is an action, and without this each one
+    # would re-run the entire upstream candidate+verify pipeline
     und = edges.unionByName(
         edges.select(F.col("dst").alias("src"), F.col("src").alias("dst"))
-    )
+    ).persist()
     labels = (
         und.select(F.col("src").alias("node"))
         .distinct()
