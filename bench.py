@@ -266,6 +266,30 @@ def main() -> None:
         "headline_rows_per_sec": round(tiles_joined / dt_head, 1),
         "cpus": CPUS,
     }
+    # attach the latest large-scale scaling evidence (BENCH/BASELINE.md
+    # protocol) if a hunt log exists: the sf-scale headline above is
+    # fixed-overhead-dominated; the north-rule numbers live at 96M
+    log = os.path.join(os.path.dirname(os.path.abspath(__file__)), "BENCH", "scaling_log.jsonl")
+    if os.path.exists(log):
+        recs = [json.loads(l) for l in open(log)]
+        if recs:
+            g8 = min(r["sec8"] for r in recs)
+            g32 = min(r["sec32"] for r in recs)
+            rows = recs[-1]["rows"]
+            out["scaling"] = {
+                "n_pages": recs[-1]["n"],
+                "rows": rows,
+                "best_sec8": round(g8, 2),
+                "best_sec32": round(g32, 2),
+                "tp8": round(rows / g8, 1),
+                "tp32": round(rows / g32, 1),
+                "efficiency": round((rows / g32) / (rows / g8) / 4.0, 4),
+                "jvm_control_eff_range": [
+                    min(r.get("jvm_control_eff", 1.0) for r in recs),
+                    max(r.get("jvm_control_eff", 0.0) for r in recs),
+                ],
+                "cycles": len(recs),
+            }
     print(json.dumps(out))
     spark.stop()
 
