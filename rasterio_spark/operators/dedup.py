@@ -296,10 +296,13 @@ def lsh_verified_pairs(
     pair back to the shingle sets, count the intersection, keep pairs
     with true Jaccard >= threshold. Cost is O(candidate pairs x shared
     shingles), never all-pairs."""
+    from rasterio_spark.plans.cache import scoped_persist
+
     cand = minhash_lsh_pairs(docs, n, text_col, id_col, max_bucket, hash_method)
     # the shingle table feeds the signature stage (inside cand), the
-    # sizes and BOTH sides of the intersection join — persist it once
-    sh = shingle_docs(docs, n, text_col, id_col).persist()
+    # sizes and BOTH sides of the intersection join — persist it once;
+    # scoped so callers can release it (plans/cache.py)
+    sh = scoped_persist(shingle_docs(docs, n, text_col, id_col))
     sizes = sh.groupBy("doc_id").agg(F.count(F.lit(1)).alias("n_sh"))
     sa = sh.select(F.col("doc_id").alias("doc_a"), "shingle")
     sb = sh.select(F.col("doc_id").alias("doc_b"), "shingle")
@@ -335,65 +338,94 @@ def connected_components_pairs(
     its neighbors; one join + one groupBy per round, O(component
     diameter) rounds — shallow for near-dup clusters; nothing
     driver-side)."""
-    edges = pairs.select(F.col("doc_a").alias("src"), F.col("doc_b").alias("dst"))
+    import warnings
+
+    from rasterio_spark.plans.cache import scoped_persist
+
+    # persist BEFORE the size probe: the limit().collect() below would
+    # otherwise run the entire upstream candidate+verify pipeline, and
+    # the distributed fallback would run it all over again (round-3
+    # ADVICE fix). Every loop iteration reuses the same cache.
+    edges = pairs.select(F.col("doc_a").alias("src"), F.col("doc_b").alias("dst")).persist()
     spark = pairs.sparkSession
-    if driver_threshold:
-        small = edges.limit(driver_threshold + 1).collect()
-        if len(small) <= driver_threshold:
-            uf: dict[int, int] = {}
+    try:
+        if driver_threshold:
+            small = edges.limit(driver_threshold + 1).collect()
+            if len(small) <= driver_threshold:
+                uf: dict[int, int] = {}
 
-            def find(x: int) -> int:
-                r = x
-                while uf.get(r, r) != r:
-                    r = uf[r]
-                while uf.get(x, x) != x:
-                    uf[x], x = r, uf[x]
-                return r
+                def find(x: int) -> int:
+                    r = x
+                    while uf.get(r, r) != r:
+                        r = uf[r]
+                    while uf.get(x, x) != x:
+                        uf[x], x = r, uf[x]
+                    return r
 
-            for e in small:
-                ra, rb = find(e["src"]), find(e["dst"])
-                if ra != rb:
-                    lo, hi = (ra, rb) if ra < rb else (rb, ra)
-                    uf[hi] = lo
-            nodes = {n for e in small for n in (e["src"], e["dst"])}
-            rows = [(int(n), int(find(n))) for n in nodes]
-            return spark.createDataFrame(rows, "node long, label long")
-    # materialize the (tiny) edge list once: every loop iteration and
-    # convergence probe below is an action, and without this each one
-    # would re-run the entire upstream candidate+verify pipeline
-    und = edges.unionByName(
-        edges.select(F.col("dst").alias("src"), F.col("src").alias("dst"))
-    ).persist()
-    labels = (
-        und.select(F.col("src").alias("node"))
-        .distinct()
-        .withColumn("label", F.col("node"))
-        .persist()
-    )
-    for _ in range(max_iter):
-        prop = (
-            und.join(labels, und["src"] == labels["node"])
-            .select(F.col("dst").alias("node"), "label")
+                for e in small:
+                    ra, rb = find(e["src"]), find(e["dst"])
+                    if ra != rb:
+                        lo, hi = (ra, rb) if ra < rb else (rb, ra)
+                        uf[hi] = lo
+                nodes = {n for e in small for n in (e["src"], e["dst"])}
+                rows = [(int(n), int(find(n))) for n in nodes]
+                return spark.createDataFrame(rows, "node long, label long")
+        und = edges.unionByName(
+            edges.select(F.col("dst").alias("src"), F.col("src").alias("dst"))
         )
-        new_labels = (
-            labels.select("node", "label")
-            .unionByName(prop)
-            .groupBy("node")
-            .agg(F.min("label").alias("label"))
-            .persist()
+        # each iteration's labels are localCheckpoint'ed: the loop body
+        # references labels twice, so without lineage truncation the
+        # logical plan DOUBLES per round (2^iters nodes — planning OOM
+        # long before data is a problem). Checkpointing keeps every
+        # round's plan O(1) — the same pattern GraphFrames' connected
+        # components uses.
+        labels = (
+            und.select(F.col("src").alias("node"))
+            .distinct()
+            .withColumn("label", F.col("node"))
+            .localCheckpoint()
         )
-        changed = (
-            new_labels.alias("n")
-            .join(labels.alias("o"), "node")
-            .where(F.col("n.label") != F.col("o.label"))
-            .limit(1)
-            .count()
-        )
-        labels.unpersist()
-        labels = new_labels
-        if changed == 0:
-            break
-    return labels
+        changed = -1
+        for _ in range(max_iter):
+            prop = (
+                und.join(labels, und["src"] == labels["node"])
+                .select(F.col("dst").alias("node"), "label")
+            )
+            new_labels = (
+                labels.select("node", "label")
+                .unionByName(prop)
+                .groupBy("node")
+                .agg(F.min("label").alias("label"))
+                .localCheckpoint()
+            )
+            changed = (
+                new_labels.alias("n")
+                .join(labels.alias("o"), "node")
+                .where(F.col("n.label") != F.col("o.label"))
+                .limit(1)
+                .count()
+            )
+            labels = new_labels
+            if changed == 0:
+                break
+        if changed != 0:
+            # silent fragmentation would keep docs that should be
+            # dropped AND diverge from the exact recursive-CTE oracle —
+            # make it loud (round-3 ADVICE fix)
+            warnings.warn(
+                f"connected_components_pairs: min-label propagation did not "
+                f"converge in max_iter={max_iter} rounds (component diameter "
+                f"exceeds it); labels are fragmented. Raise max_iter.",
+                RuntimeWarning,
+                stacklevel=2,
+            )
+        # labels is localCheckpoint-backed (already materialized);
+        # intermediate checkpoints are reclaimed by the ContextCleaner
+        # once their Python references drop (standard iterative-Spark
+        # lifecycle)
+        return labels
+    finally:
+        edges.unpersist()
 
 
 def dedup_groups(

@@ -31,72 +31,60 @@ from pyspark.sql import functions as F
 KEY_SHIFT = 32  # cell key = (row << 32) | col — fits int64 for grids < 2^31
 
 
-class _UnionFind:
-    """Array-less union-find over arbitrary int64 keys, min-root rule."""
-
-    __slots__ = ("parent",)
-
-    def __init__(self):
-        self.parent: dict[int, int] = {}
-
-    def find(self, x: int) -> int:
-        p = self.parent
-        root = x
-        while p.get(root, root) != root:
-            root = p[root]
-        while p.get(x, x) != x:
-            p[x], x = root, p[x]
-        return root
-
-    def union(self, a: int, b: int) -> None:
-        ra, rb = self.find(a), self.find(b)
-        if ra == rb:
-            return
-        lo, hi = (ra, rb) if ra < rb else (rb, ra)
-        self.parent[hi] = lo
-
-
 def _local_components(pdf: pd.DataFrame, connectivity: int) -> pd.DataFrame:
-    """Vectorized per-tile union-find: same-value 4/8-neighbors."""
+    """Fully vectorized per-tile connected components: neighbor matching
+    via np.searchsorted over the sorted cell keys, then Shiloach-Vishkin
+    style min-label propagation with pointer jumping — zero per-cell
+    Python (round-3 fix; the r2 kernel probed a dict per cell per
+    offset). O(E log N) vectorized passes; labels = min cell key."""
     rows = pdf["row"].values.astype(np.int64)
     cols = pdf["col"].values.astype(np.int64)
     vals = pdf["value"].values
     keys = (rows << KEY_SHIFT) | cols
     order = np.argsort(keys)
     rows, cols, vals, keys = rows[order], cols[order], vals[order], keys[order]
+    n = len(keys)
+    if n == 0:
+        return pd.DataFrame({"row": rows, "col": cols, "value": vals, "label": keys})
 
-    # neighbor offsets (only "forward" ones; unions are symmetric)
+    # neighbor offsets (only "forward" ones; edges are made symmetric below)
     offsets = [(0, 1), (1, 0)]
     if connectivity == 8:
         offsets += [(1, 1), (1, -1)]
 
-    # label indices via union-find over array positions
-    parent = np.arange(len(keys), dtype=np.int64)
-
-    def find(i):
-        root = i
-        while parent[root] != root:
-            root = parent[root]
-        while parent[i] != i:
-            parent[i], i = root, parent[i]
-        return root
-
-    key_to_pos = {int(k): i for i, k in enumerate(keys)}
+    ei_parts, ej_parts = [], []
     for dr, dc in offsets:
         nkeys = ((rows + dr) << KEY_SHIFT) | (cols + dc)
-        for i, nk in enumerate(nkeys):
-            j = key_to_pos.get(int(nk))
-            if j is not None and vals[i] == vals[j]:
-                ri, rj = find(i), find(j)
-                if ri != rj:
-                    if ri < rj:
-                        parent[rj] = ri
-                    else:
-                        parent[ri] = rj
-    roots = np.array([find(i) for i in range(len(keys))], dtype=np.int64)
-    labels = keys[roots]  # min cell key in local component (root has min pos -> min key)
+        pos = np.searchsorted(keys, nkeys)
+        pos_c = np.minimum(pos, n - 1)
+        hit = (keys[pos_c] == nkeys) & (vals == vals[pos_c])
+        ii = np.nonzero(hit)[0]
+        ei_parts.append(ii)
+        ej_parts.append(pos_c[ii])
+    ii = np.concatenate(ei_parts) if ei_parts else np.empty(0, dtype=np.int64)
+    jj = np.concatenate(ej_parts) if ej_parts else np.empty(0, dtype=np.int64)
+    # symmetric edge arrays so min labels flow both ways
+    ei = np.concatenate([ii, jj])
+    ej = np.concatenate([jj, ii])
+
+    labels = np.arange(n, dtype=np.int64)
+    while True:
+        # hook: every endpoint takes the min label across its edges
+        new = labels.copy()
+        np.minimum.at(new, ei, labels[ej])
+        # pointer jumping: collapse label chains to their roots
+        while True:
+            nn = new[new]
+            if np.array_equal(nn, new):
+                break
+            new = nn
+        if np.array_equal(new, labels):
+            break
+        labels = new
+    # labels are positions; position order == key order, so the min
+    # position in a component is its min cell key
     return pd.DataFrame(
-        {"row": rows, "col": cols, "value": vals, "label": labels}
+        {"row": rows, "col": cols, "value": vals, "label": keys[labels]}
     )
 
 
@@ -111,7 +99,6 @@ def connected_components(
     labeled (excluded), mirroring shapes' mask semantics
     (features.py:124-129).
     """
-    spark = cells.sparkSession
     th, tw = tile_shape
     src = cells.where(F.col("valid")).select("row", "col", "value")
     tiled = src.withColumn("_ti", F.expr(f"row DIV {th}")).withColumn(
@@ -121,10 +108,12 @@ def connected_components(
     def per_tile(pdf: pd.DataFrame) -> pd.DataFrame:
         return _local_components(pdf, connectivity)
 
+    from rasterio_spark.plans.cache import scoped_persist
+
     local = tiled.groupBy("_ti", "_tj").applyInPandas(
         per_tile, schema="row long, col long, value double, label long"
     )
-    local = local.persist()
+    local = scoped_persist(local)
 
     # boundary cells: at any tile edge (their neighbors may be in another tile)
     on_edge = (
@@ -155,21 +144,25 @@ def connected_components(
     pairs = pair_frames[0]
     for pf in pair_frames[1:]:
         pairs = pairs.unionByName(pf)
-    edges = pairs.distinct().collect()  # O(cross-tile components), small
+    # cross-tile label graph is O(tile-boundary adjacencies) — usually
+    # tiny, but a continent-sized same-value region makes it grow with
+    # total boundary length. Route it through the adaptive component
+    # finder (round-3 fix): exact driver union-find under its 1M-edge
+    # threshold, distributed min-label propagation above — never an
+    # unconditional collect.
+    from rasterio_spark.operators.dedup import connected_components_pairs
 
-    uf = _UnionFind()
-    for e in edges:
-        uf.union(e["la"], e["lb"])
-    mapping = {}
-    for e in edges:
-        for l in (e["la"], e["lb"]):
-            r = uf.find(l)
-            if r != l:
-                mapping[l] = r
-    if not mapping:
-        return local.select("row", "col", "value", "label")
-    map_df = spark.createDataFrame(list(mapping.items()), "label long, root long")
-    out = local.join(F.broadcast(map_df), "label", "left").select(
+    roots = connected_components_pairs(
+        pairs.distinct()
+        .select(F.col("la").alias("doc_a"), F.col("lb").alias("doc_b"))
+    )
+    map_df = (
+        roots.where(F.col("node") != F.col("label"))
+        .select(F.col("node").alias("label"), F.col("label").alias("root"))
+    )
+    # no explicit broadcast hint: the driver path yields a local
+    # relation (auto-broadcast), the distributed path lets AQE decide
+    out = local.join(map_df, "label", "left").select(
         "row", "col", "value", F.coalesce("root", "label").alias("label")
     )
     return out
@@ -439,8 +432,10 @@ def sieve(
     state, not O(#cells) — region graphs are perimeter-bounded, so this
     is the per-AOI path at scale; the relabel map is broadcast back.
     """
+    from rasterio_spark.plans.cache import scoped_persist
+
     if mode == "gdal":
-        cc = connected_components(cells, connectivity).persist()
+        cc = scoped_persist(connected_components(cells, connectivity))
         regions_pdf = (
             cc.groupBy("label")
             .agg(F.first("value").alias("value"), F.count(F.lit(1)).alias("n"))
@@ -484,7 +479,7 @@ def sieve(
         )
     if mode != "longest_border":
         raise ValueError(f"unknown sieve mode {mode!r}")
-    cc = connected_components(cells, connectivity).persist()
+    cc = scoped_persist(connected_components(cells, connectivity))
     sizes = cc.groupBy("label").agg(F.count(F.lit(1)).alias("n"))
     cc2 = cc.join(F.broadcast(sizes), "label")
     small = cc2.where(F.col("n") < size).select("row", "col", "label")

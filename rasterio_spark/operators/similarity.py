@@ -204,19 +204,34 @@ def kmeans_fit(
 
 def neardup_pairs(
     embeddings: DataFrame, tau: float = 0.9, id_col: str = "vec_id", vec_col: str = "embedding",
-    cluster_col: str | None = "label",
+    cluster_col: str | None = "label", max_cluster: int | None = None,
 ) -> DataFrame:
     """(vec_a, vec_b, cos_sim) pairs with cosine >= tau, a < b.
 
     With a cluster column the self-join is per-cluster (near-dups land
     in the same coarse cell overwhelmingly often); cluster_col=None
-    falls back to the exact full cross join."""
+    falls back to the exact full cross join.
+
+    ``max_cluster`` drops clusters larger than that many vectors before
+    the self-join (the cluster-side analogue of dedup's ``max_bucket``
+    / shingle df-cap): a degenerate cluster of c vectors costs c^2
+    pairs, so the cap bounds the join output at clusters*max_cluster^2.
+    Oversized clusters mean the quantizer failed for that region —
+    production pipelines re-cluster or exact-dedup them instead."""
     base = with_unit_norm(embeddings, vec_col).select(
         F.col(id_col).alias("vec_id"),
         (F.col(cluster_col) if cluster_col else F.lit(0)).alias("cluster"),
         "_vec",
         "_norm",
     )
+    if max_cluster is not None and cluster_col:
+        hot = (
+            base.groupBy("cluster")
+            .agg(F.count(F.lit(1)).alias("_n"))
+            .where(F.col("_n") > max_cluster)
+            .select("cluster")
+        )
+        base = base.join(F.broadcast(hot), "cluster", "left_anti")
     a = base.alias("a")
     b = base.alias("b")
     cond = (F.col("a.cluster") == F.col("b.cluster")) & (F.col("a.vec_id") < F.col("b.vec_id"))
@@ -231,15 +246,28 @@ def neardup_pairs(
     )
 
 
-def neardup_pairs_sql(tau: float = 0.9, table: str = "embeddings", use_cluster: bool = True) -> str:
+def neardup_pairs_sql(
+    tau: float = 0.9,
+    table: str = "embeddings",
+    use_cluster: bool = True,
+    max_cluster: int | None = None,
+) -> str:
     vec = "list_transform(embedding, x -> CAST(x AS DOUBLE))"
     cluster = "label" if use_cluster else "0"
+    cap = ""
+    if max_cluster is not None and use_cluster:
+        cap = f"""
+          WHERE cluster IN (
+            SELECT {cluster} FROM {table} GROUP BY 1 HAVING count(*) <= {max_cluster}
+          )
+        """
     return f"""
-        WITH base AS (
+        WITH base0 AS (
           SELECT vec_id, {cluster} AS cluster, {vec} AS v,
                  sqrt(list_dot_product({vec}, {vec})) AS nrm
           FROM {table}
-        )
+        ),
+        base AS (SELECT * FROM base0 {cap})
         SELECT a.vec_id AS vec_a, b.vec_id AS vec_b,
                round(list_dot_product(a.v, b.v) / (a.nrm * b.nrm), 6) AS cos_sim
         FROM base a JOIN base b

@@ -133,20 +133,33 @@ def dataset_mask(
     return cells.groupBy("row", "col").agg(F.max(F.col("valid").cast("int")).cast("boolean").alias("valid"))
 
 
-def pad(cells: DataFrame, descriptor, pad_width: int, fill_value: float = 0.0):
+def pad(
+    cells: DataFrame,
+    descriptor,
+    pad_width: int,
+    fill_value: float = 0.0,
+    bands: list[int] | None = None,
+):
     """rasterio.pad (reference __init__.py:458-488): grow the layer by
     ``pad_width`` cells on every side. Returns (padded_descriptor,
     padded_cells) where the cells are re-origined so (0, 0) is the new
     padded corner, and the transform shifts by -pad_width pixels on
-    both axes (c -= pad*a, f -= pad*e — the reference's exact rule)."""
+    both axes (c -= pad*a, f -= pad*e — the reference's exact rule).
+
+    ``bands`` defaults to all of the descriptor's bands (1..count) so a
+    multiband layer pads every band; reference pad() operates on the
+    full array stack, not band 1.
+    """
     import dataclasses
 
     from rasterio_spark.grid.affine import Affine
 
+    if bands is None:
+        bands = list(range(1, descriptor.count + 1))
     w = Window(
         -pad_width, -pad_width, descriptor.width + 2 * pad_width, descriptor.height + 2 * pad_width
     )
-    out = read_boundless(cells, w, fill_value=fill_value)
+    out = read_boundless(cells, w, fill_value=fill_value, bands=bands)
     out = out.select(
         "band",
         (F.col("row") + pad_width).cast("long").alias("row"),

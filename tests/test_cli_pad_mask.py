@@ -91,6 +91,26 @@ def test_pad(spark):
     assert got[(7, 7)] == -1.0
 
 
+def test_pad_multiband(spark):
+    """Regression (round-3 ADVICE): pad on a count=2 layer must emit
+    both bands in the fill domain, not silently drop band 2."""
+    from rasterio_spark.operators.window_read import pad
+    from rasterio_spark.sources.layers import LayerDescriptor
+
+    desc = LayerDescriptor(width=3, height=3, count=2, nodata=0.0)
+    cells = spark.createDataFrame(
+        [(b, r, c, float(b * 10), True) for b in (1, 2) for r in range(3) for c in range(3)],
+        "band int, row int, col int, value double, valid boolean",
+    )
+    _, out = pad(cells, desc, pad_width=1, fill_value=-1.0)
+    pdf = out.toPandas()
+    assert len(pdf) == 2 * 5 * 5
+    got = {(r.band, r.row, r.col): r.value for r in pdf.itertuples()}
+    assert got[(2, 0, 0)] == -1.0  # band-2 padded corner exists
+    assert got[(2, 1, 1)] == 20.0  # band-2 original data survives
+    assert got[(1, 1, 1)] == 10.0
+
+
 def test_dataset_mask_precedence(spark):
     from rasterio_spark.operators.window_read import dataset_mask
 
