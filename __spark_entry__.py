@@ -239,6 +239,34 @@ def q_downsample(method: str):
     return q
 
 
+def q_downsample_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """All nine groupable overview aggregates in one shuffle (§2.4
+    resampling set minus mode, which has its own plan/row)."""
+    from rasterio_spark.operators.warp import downsample_stats
+
+    return downsample_stats(_cells(spark, sf_dir), factor=4)
+
+
+def q_stack(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """rasterio.stack: two single-band layers -> consecutive bands
+    (second layer derived so the bands are distinguishable)."""
+    from rasterio_spark.operators.merge import stack
+
+    cells = _cells(spark, sf_dir)
+    doubled = cells.withColumn("value", F.col("value") * 2.0)
+    return stack([cells, doubled])
+
+
+def q_zonal_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-polygon raster stats (mask.mask + stats fused): the five
+    RASTER_SQUARES over the document cell layer."""
+    from rasterio_spark.operators.stats import zonal_stats
+
+    return zonal_stats(
+        _cells(spark, sf_dir), [g for g, _ in _square_geoms()], RASTER_SHAPE
+    )
+
+
 def q_reproject_nearest(spark: SparkSession, sf_dir: str) -> DataFrame:
     from rasterio_spark.grid.affine import Affine
     from rasterio_spark.operators.warp import reproject
@@ -552,29 +580,34 @@ def entry(spark: SparkSession) -> DataFrame:
 
 
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
+    # NOTE on pruned entries (round-3 VERDICT item 1): the driver's
+    # correctness artifact caps at 50 queries, so redundant-oracle rows
+    # were removed IN FAVOR OF pytest equivalence pins —
+    #   tile_counts_salted == tile_counts   (tests/test_join_spark.py:51)
+    #   pip_join strategy variants == pairs (tests/test_join_spark.py:45)
+    #   per-method downsample == the columns of downsample_stats
+    #   (tests/test_round3_fixes.py) — mode keeps its own row (different
+    #   plan shape).
     qs: dict[str, Callable[[SparkSession, str], DataFrame]] = {
         "tile_counts": q_tile_counts,
-        "tile_counts_salted": q_tile_counts_salted,
         "cell_histogram": q_cell_histogram,
         "window_read": q_window_read,
         "window_read_masked": q_window_read_masked,
         "boundless_read": q_boundless_read,
         "band_stats": q_band_stats,
         "data_window": q_data_window,
+        "zonal_stats": q_zonal_stats,
         "pip_join_pairs": q_pip_join_pairs,
         "pip_join_count": q_pip_join_count,
-        "pip_join_sort_merge": q_pip_join_sort_merge,
-        "pip_join_rtree": q_pip_join_rtree,
         "knn": q_knn,
         "sample_points": q_sample_points,
         "asof_latest": q_asof_latest,
         "rasterize_replace": q_rasterize_replace,
         "rasterize_add": q_rasterize_add,
         "geometry_mask": q_geometry_mask,
-        "downsample_average": q_downsample("average"),
         "downsample_mode": q_downsample("mode"),
-        "downsample_med": q_downsample("med"),
-        "downsample_rms": q_downsample("rms"),
+        "downsample_stats": q_downsample_stats,
+        "stack": q_stack,
         "reproject_nearest": q_reproject_nearest,
         "reproject_average": q_reproject_average,
         "transform_points_3857": q_transform_points_3857,
@@ -620,7 +653,6 @@ def oracle_sql() -> dict[str, str]:
 
     sqls: dict[str, str] = {}
     sqls["tile_counts"] = f"{_pages_cte()} {tile_counts_sql(TILE_RES)}"
-    sqls["tile_counts_salted"] = sqls["tile_counts"]
     sqls["cell_histogram"] = f"""
         {_pages_cte()}
         SELECT {cell} AS cell_id, lang,
@@ -676,8 +708,6 @@ def oracle_sql() -> dict[str, str]:
           ON g.lon >= r.x0 AND g.lon < r.x1 AND g.lat >= r.y0 AND g.lat < r.y1
     """.replace("AS rects(", "AS r(")
     sqls["pip_join_pairs"] = pip_pairs
-    sqls["pip_join_sort_merge"] = pip_pairs
-    sqls["pip_join_rtree"] = pip_pairs
     sqls["pip_join_count"] = f"""
         {_pages_cte()}, geo AS (
           SELECT url, {lon_sql} AS lon, {lat_sql} AS lat FROM pages
@@ -743,10 +773,26 @@ def oracle_sql() -> dict[str, str]:
     """
 
     # --- warp / resampling ---------------------------------------------------
-    from rasterio_spark.operators.warp import downsample_sql
+    from rasterio_spark.operators.warp import downsample_sql, downsample_stats_sql
 
-    for m in ("average", "mode", "med", "rms"):
-        sqls[f"downsample_{m}"] = f"{_cells_cte()} {downsample_sql(4, m)}"
+    sqls["downsample_mode"] = f"{_cells_cte()} {downsample_sql(4, 'mode')}"
+    sqls["downsample_stats"] = f"{_cells_cte()} {downsample_stats_sql(4)}"
+    sqls["stack"] = f"""
+        {_cells_cte()}
+        SELECT band, row, col, value, valid FROM cells
+        UNION ALL
+        SELECT CAST(band + 1 AS INTEGER), row, col, value * 2.0, valid FROM cells
+    """
+    sqls["zonal_stats"] = f"""
+        {_cells_cte()}
+        SELECT CAST(s.k AS BIGINT) AS shape_id, c.band,
+               count(*) AS n_cells,
+               min(c.value) AS vmin, max(c.value) AS vmax,
+               round(sum(c.value), 6) AS vsum, round(avg(c.value), 6) AS vmean
+        FROM ({covered}) s JOIN cells c ON c.row = s.row AND c.col = s.col
+        WHERE c.valid
+        GROUP BY 1, 2
+    """
     sqls["reproject_nearest"] = f"""
         {_cells_cte()}
         SELECT COALESCE(c.band, 1) AS band,
@@ -819,6 +865,12 @@ def oracle_sql() -> dict[str, str]:
     sqls["simhash"] = simhash_sql()
     sqls["cosine_topk"] = cosine_topk_sql(ANN_QUERY_IDS, ANN_K)
     sqls["ivf_topk_fullprobe"] = sqls["cosine_topk"]
+    from rasterio_spark.operators.similarity import kmeans_assign_sql
+
+    # Lloyd's unrolled as fixed-iteration CTEs — deterministic because
+    # the trainer rounds distances and means to 9 decimals and breaks
+    # argmin ties on cluster id (similarity.py:kmeans_fit)
+    sqls["kmeans_assign"] = kmeans_assign_sql(k=8, iters=3)
     sqls["embedding_neardup"] = neardup_pairs_sql(tau=0.3)
     sqls["html_stats"] = f"{_pages_cte()} {html_stats_sql()}"
 

@@ -420,14 +420,130 @@ def pip_join_count(pages: DataFrame, polygons: list[dict], res: int = DEFAULT_RE
     return j.groupBy("polygon_id").agg(F.count(F.lit(1)).alias("n_pages"))
 
 
+def _query_disk_cells(qdf: DataFrame, res: int, radius_col: str = "_r") -> DataFrame:
+    """(query_id, qrow, qcol, radius) -> (query_id, cell_id): each
+    query's disk cells up to its own radius, generated executor-side in
+    Arrow batches — the driver never materializes per-query cell lists
+    (the large-query-set complement to knn_join's list path)."""
+
+    def gen(batches):
+        for pdf in batches:
+            out_q, out_c = [], []
+            for qid, r0, c0, rad in zip(
+                pdf["query_id"].values, pdf["qrow"].values, pdf["qcol"].values, pdf[radius_col].values
+            ):
+                d = C.disk(int(r0), int(c0), int(rad), res, wrap=False)
+                if d.size:
+                    ids = np.unique(C.cell_id_from_rowcol(d[:, 0], d[:, 1], res))
+                    out_q.append(np.full(ids.shape, qid, dtype="int64"))
+                    out_c.append(ids.astype("int64"))
+            if out_q:
+                yield pd.DataFrame(
+                    {"query_id": np.concatenate(out_q), "cell_id": np.concatenate(out_c)}
+                )
+
+    return qdf.mapInPandas(gen, "query_id long, cell_id long")
+
+
+def _knn_join_df(
+    pages: DataFrame, queries: DataFrame, k: int, res: int, max_rings: int
+) -> DataFrame:
+    """knn_join for a queries DataFrame (query_id, qlon, qlat): the
+    ring expansion runs as doubling-radius passes with the per-query
+    state (resolved radius) in a DataFrame — driver traffic is one
+    scalar emptiness probe per pass, never O(queries x cells). Ranking
+    arithmetic and (dist2, url) ordering are identical to the list
+    path, so both satisfy the same oracle."""
+    from rasterio_spark.functions.cell_exprs import rowcol_cols
+    from rasterio_spark.plans.cache import scoped_persist
+
+    ny, nx = C.grid_shape(res)
+    cell_w = C.LON_SPAN / nx
+    cell_h = C.LAT_SPAN / ny
+    min_side = min(cell_w, cell_h)
+
+    qrow, qcol = rowcol_cols(F.col("qlon"), F.col("qlat"), res)
+    state = (
+        queries.select("query_id", "qlon", "qlat")
+        .withColumn("qrow", qrow)
+        .withColumn("qcol", qcol)
+        .withColumn("base_r", F.lit(None).cast("int"))
+        .localCheckpoint()
+    )
+    # prune the page scan to the union of maximal disks (O(search area),
+    # like the list path) — built executor-side, distinct'd before the
+    # semi-join so the build side stays |cells|, not |queries x cells|
+    max_cells = (
+        _query_disk_cells(state.withColumn("_r", F.lit(max_rings)), res)
+        .select("cell_id")
+        .distinct()
+    )
+    tiled = scoped_persist(
+        tile_pages(pages, res=res)
+        .select("url", "lon", "lat", "cell_id")
+        .join(max_cells, "cell_id", "left_semi")
+    )
+
+    R, j = 0, 0
+    while R < max_rings - 1:
+        active = state.where(F.col("base_r").isNull())
+        if active.isEmpty():
+            break
+        R = min(2 ** (j + 1) - 1, max_rings - 1)
+        j += 1
+        dc = _query_disk_cells(active.withColumn("_r", F.lit(R)), res)
+        enough = (
+            tiled.join(dc, "cell_id")
+            .groupBy("query_id")
+            .agg(F.count(F.lit(1)).alias("_n"))
+            .where(F.col("_n") >= k)
+            .select("query_id", F.lit(R).alias("_newr"))
+        )
+        state = (
+            state.join(enough, "query_id", "left")
+            .withColumn("base_r", F.coalesce("base_r", "_newr"))
+            .drop("_newr")
+            .localCheckpoint()
+        )
+
+    # same guarantee radius as the list path: the found radius bounds the
+    # k-th distance by (base_r+1) cell diagonals; expand so the disk
+    # covers that distance in min-side units
+    diag = float(np.hypot(cell_w, cell_h))
+    final = state.withColumn("base_r", F.coalesce("base_r", F.lit(max(R, 0))))
+    safe_r = F.least(
+        (F.ceil((F.col("base_r") + 1) * F.lit(diag) / F.lit(min_side)) + 1).cast("int"),
+        F.lit(max_rings),
+    )
+    cells_df = _query_disk_cells(final.withColumn("_r", safe_r), res)
+    cand = tiled.join(cells_df, "cell_id").join(
+        final.select("query_id", "qlon", "qlat"), "query_id"
+    )
+    dist2 = (F.col("lon") - F.col("qlon")) * (F.col("lon") - F.col("qlon")) + (
+        F.col("lat") - F.col("qlat")
+    ) * (F.col("lat") - F.col("qlat"))
+    w = W.partitionBy("query_id").orderBy(F.col("dist2").asc(), F.col("url").asc())
+    return (
+        cand.withColumn("dist2", dist2)
+        .withColumn("rank", F.row_number().over(w))
+        .where(F.col("rank") <= k)
+        .select("query_id", "url", "lon", "lat", "dist2", "rank")
+    )
+
+
 def knn_join(
     pages: DataFrame,
-    queries: list[tuple[int, float, float]],
+    queries: list[tuple[int, float, float]] | DataFrame,
     k: int,
     res: int = DEFAULT_RES,
     max_rings: int = 64,
 ) -> DataFrame:
     """k nearest pages per query point (planar lon/lat distance).
+
+    ``queries`` may be a list of (query_id, qlon, qlat) tuples (small
+    query sets; ring bookkeeping on the driver) or a DataFrame with
+    those columns (large query sets; fully distributed state — see
+    ``_knn_join_df``).
 
     Ring expansion (north_star): candidate cells grow ring by ring;
     a radius R is sufficient once every query has >= k candidates
@@ -438,6 +554,8 @@ def knn_join(
     Returns (query_id, url, lon, lat, dist2, rank) with rank <= k,
     ties broken by url.
     """
+    if isinstance(queries, DataFrame):
+        return _knn_join_df(pages, queries, k, res, max_rings)
     spark = pages.sparkSession
     ny, nx = C.grid_shape(res)
     cell_w = C.LON_SPAN / nx

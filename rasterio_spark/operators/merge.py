@@ -261,19 +261,26 @@ def merge_sources(
     )
 
 
-def stack(layer_dfs: list[DataFrame]) -> DataFrame:
+def stack(layer_dfs: list[DataFrame], band_counts: list[int] | None = None) -> DataFrame:
     """Concatenate sources as consecutive bands on a common grid —
     rasterio.stack semantics (/root/reference/rasterio/stack.py:26-362):
-    output band order = input order.
+    output band order = input order, multiband sources keep their
+    internal band order.
 
     Each input: (band, row, col, value, valid). unionByName keeps the
     plan shuffle-free; band renumbering is a running offset.
+    ``band_counts[i]`` is source i's band count (default 1 each) —
+    passed by the caller (the layer descriptor knows it) so the plan
+    needs no counting action.
     """
+    if band_counts is None:
+        band_counts = [1] * len(layer_dfs)
+    if len(band_counts) != len(layer_dfs):
+        raise ValueError("band_counts must match layer_dfs")
     out = None
     offset = 0
-    for df in layer_dfs:
-        n_bands = 1
-        renumbered = df.withColumn("band", F.col("band") + F.lit(offset))
+    for df, n_bands in zip(layer_dfs, band_counts):
+        renumbered = df.withColumn("band", (F.col("band") + F.lit(offset)).cast("int"))
         out = renumbered if out is None else out.unionByName(renumbered)
         offset += n_bands
     if out is None:

@@ -72,6 +72,7 @@ def rasterize(
     fill: float = 0.0,
     skip_invalid: bool = True,
     dense: bool = False,
+    per_shape: bool = False,
 ) -> DataFrame:
     """Burn (geometry, value) pairs into a grid.
 
@@ -79,6 +80,11 @@ def rasterize(
     (default value 1.0, like the reference's default_value).
     Returns (row, col, value) for burned cells, or the dense grid with
     ``fill`` when ``dense=True``.
+
+    ``per_shape=True`` skips the REPLACE/ADD resolution and returns the
+    raw cover relation (shape_id, row, col, value) — one row per input
+    shape per burned cell (multi-part shapes deduplicated) — the input
+    zonal_stats and mask-style semi-joins consume.
     """
     height, width = out_shape
     # --- driver-side validation + explode (shapes are the small side) ---
@@ -111,7 +117,9 @@ def rasterize(
             pts = np.atleast_2d(np.asarray(geom["coordinates"], dtype="float64"))[:, :2]
             rr, cc = rowcol(transform, pts[:, 0], pts[:, 1])
             rows_out.append(
-                pd.DataFrame({"shape_idx": sid, "row": rr, "col": cc, "value": value})
+                pd.DataFrame(
+                    {"shape_idx": sid, "orig_idx": shape_idx, "row": rr, "col": cc, "value": value}
+                )
             )
         elif gtype in ("LineString", "MultiLineString", "LinearRing"):
             lines = geom["coordinates"]
@@ -124,14 +132,20 @@ def rasterize(
                 cells = line_cells(np.stack([cols_f, rows_f], axis=1))
                 rows_out.append(
                     pd.DataFrame(
-                        {"shape_idx": sid, "row": cells[:, 0], "col": cells[:, 1], "value": value}
+                        {
+                            "shape_idx": sid,
+                            "orig_idx": shape_idx,
+                            "row": cells[:, 0],
+                            "col": cells[:, 1],
+                            "value": value,
+                        }
                     )
                 )
         elif gtype == "Polygon":
             win = _shape_window(geom, transform, height, width)
             if win is None:
                 continue
-            poly_entries.append((sid, sid, value, win))
+            poly_entries.append((sid, shape_idx, value, win))
             # rings in GRID coordinates (so the UDF is transform-free)
             rings = []
             for ring in polygon_rings(geom):
@@ -170,28 +184,36 @@ def rasterize(
 
         cand = spark.createDataFrame(
             [
-                (sid, shape_idx, value, *[int(v) for s in w.toslices() for v in (s.start, s.stop)])
-                for sid, shape_idx, value, w in poly_entries
+                (sid, orig_idx, value, *[int(v) for s in w.toslices() for v in (s.start, s.stop)])
+                for sid, orig_idx, value, w in poly_entries
             ],
-            "sid long, shape_idx long, value double, r0 int, r1 int, c0 int, c1 int",
+            "sid long, orig_idx long, value double, r0 int, r1 int, c0 int, c1 int",
         )
         cand = (
             cand.withColumn("row", F.explode(F.sequence(F.col("r0"), F.col("r1") - 1)))
             .withColumn("col", F.explode(F.sequence(F.col("c0"), F.col("c1") - 1)))
             .where(burn_test(F.col("sid"), F.col("row"), F.col("col")))
-            .select("shape_idx", "row", "col", "value")
+            .select(F.col("sid").alias("shape_idx"), "orig_idx", "row", "col", "value")
         )
         parts.append(cand)
 
     if rows_out:
         pdf = pd.concat(rows_out, ignore_index=True)
         pdf = pdf[(pdf.row >= 0) & (pdf.row < height) & (pdf.col >= 0) & (pdf.col < width)]
-        sdf = spark.createDataFrame(pdf.astype({"shape_idx": "int64", "row": "int64", "col": "int64"}))
-        parts.append(sdf.select("shape_idx", "row", "col", "value"))
+        sdf = spark.createDataFrame(
+            pdf.astype({"shape_idx": "int64", "orig_idx": "int64", "row": "int64", "col": "int64"})
+        )
+        parts.append(sdf.select("shape_idx", "orig_idx", "row", "col", "value"))
 
     burned = parts[0]
     for p in parts[1:]:
         burned = burned.unionByName(p)
+
+    if per_shape:
+        # cover relation: dedup multi-part double covers per input shape
+        return burned.groupBy(
+            F.col("orig_idx").alias("shape_id"), "row", "col"
+        ).agg(F.max("value").alias("value"))
 
     if merge_alg == "replace":
         w = W.partitionBy("row", "col").orderBy(F.col("shape_idx").desc())

@@ -202,6 +202,55 @@ def kmeans_fit(
     return assign, cent
 
 
+def kmeans_assign_sql(k: int, iters: int, table: str = "embeddings") -> str:
+    """DuckDB twin of kmeans_fit's assignment output.
+
+    Lloyd's is deterministic by construction here (min-id seeds,
+    round(,9) distances and means, min-(d2, cluster) tie-break), so a
+    fixed-iteration unrolled CTE chain reproduces the Spark trainer
+    exactly: cent0 = k smallest ids, then iters x (assign_i, cent_i).
+    Distances fold left-to-right on both engines (Spark F.aggregate /
+    DuckDB list_sum over list_zip); cluster means are rounded to 9
+    before the next distance pass so cross-engine avg() noise (~1e-16)
+    cannot flip an argmin.
+    """
+    vec = "list_transform(embedding, x -> CAST(x AS DOUBLE))"
+    d2 = (
+        "round(list_sum(list_transform(list_zip(b.v, c.cv), "
+        "s -> (s[1] - s[2]) * (s[1] - s[2]))), 9)"
+    )
+    ctes = [
+        f"base AS (SELECT vec_id, {vec} AS v FROM {table})",
+        f"""cent0 AS (
+          SELECT CAST(rn - 1 AS INTEGER) AS cluster, v AS cv FROM (
+            SELECT v, row_number() OVER (ORDER BY vec_id) AS rn FROM base
+          ) WHERE rn <= {k}
+        )""",
+    ]
+    for i in range(1, iters + 1):
+        ctes.append(f"""assign{i} AS (
+          SELECT vec_id, cluster FROM (
+            SELECT b.vec_id, c.cluster,
+                   row_number() OVER (
+                     PARTITION BY b.vec_id ORDER BY {d2} ASC, c.cluster ASC
+                   ) AS rk
+            FROM base b CROSS JOIN cent{i - 1} c
+          ) WHERE rk = 1
+        )""")
+        if i < iters:
+            ctes.append(f"""cent{i} AS (
+              SELECT cluster, list(round(m, 9) ORDER BY pos) AS cv FROM (
+                SELECT cluster, pos, avg(x) AS m FROM (
+                  SELECT a.cluster,
+                         unnest(list_transform(b.v, (x, j) -> {{'pos': j, 'x': x}}),
+                                recursive := true)
+                  FROM assign{i} a JOIN base b USING (vec_id)
+                ) GROUP BY cluster, pos
+              ) GROUP BY cluster
+            )""")
+    return f"WITH {', '.join(ctes)} SELECT vec_id, cluster FROM assign{iters}"
+
+
 def neardup_pairs(
     embeddings: DataFrame, tau: float = 0.9, id_col: str = "vec_id", vec_col: str = "embedding",
     cluster_col: str | None = "label", max_cluster: int | None = None,

@@ -65,6 +65,50 @@ def get_data_window_df(cells: DataFrame) -> DataFrame:
     )
 
 
+def zonal_stats(
+    cells: DataFrame,
+    shapes: list,
+    out_shape: tuple[int, int],
+    transform=None,
+    all_touched: bool = False,
+) -> DataFrame:
+    """Per-polygon raster statistics — the mask.mask + stats composition
+    (reference mask.py:15-230 crop + _io.pyx:1027-1107 stats, fused):
+    for each input shape, (shape_id, band, n_cells, vmin, vmax, vsum,
+    vmean) over the valid cells whose center falls inside it.
+
+    Plan shape: the shapes' cover relation (rasterize per_shape — a
+    broadcast-PIP explode, one narrow stage) equi-joins the cell table
+    on (row, col) and aggregates per (shape_id, band): one shuffle,
+    sized by covered cells, never by the full layer — the join key
+    pushes the bbox prune into the scan side at 100 TB when the layer
+    is written partitioned on tile_of(row, col).
+    """
+    from rasterio_spark.grid.affine import Affine
+    from rasterio_spark.operators.rasterize import rasterize
+
+    cover = rasterize(
+        cells.sparkSession,
+        [(s, 1.0) for s in shapes],
+        out_shape,
+        transform or Affine.identity(),
+        all_touched=all_touched,
+        per_shape=True,
+    ).select("shape_id", "row", "col")
+    return (
+        cells.where(F.col("valid"))
+        .join(cover, ["row", "col"])
+        .groupBy("shape_id", "band")
+        .agg(
+            F.count(F.lit(1)).alias("n_cells"),
+            F.min("value").alias("vmin"),
+            F.max("value").alias("vmax"),
+            F.round(F.sum("value"), 6).alias("vsum"),
+            F.round(F.avg("value"), 6).alias("vmean"),
+        )
+    )
+
+
 def get_data_window_sql(cells_cte: str = "cells") -> str:
     return f"""
         SELECT CAST(COALESCE(min(row), 0) AS BIGINT) AS row_off,

@@ -380,6 +380,77 @@ def downsample_sql(factor: int, method: str, cells_cte: str = "cells") -> str:
     return f"SELECT band, row, col, {agg} AS value FROM ({base}) GROUP BY band, row, col"
 
 
+DOWNSAMPLE_STATS_METHODS = ("average", "min", "max", "sum", "count", "rms", "med", "q1", "q3")
+
+
+def downsample_stats(
+    cells: DataFrame, factor: int, methods: tuple[str, ...] = DOWNSAMPLE_STATS_METHODS
+) -> DataFrame:
+    """All groupable overview aggregates in ONE shuffle: (band, row, col,
+    avg_v, min_v, max_v, sum_v, cnt_v, rms_v, med_v, q1_v, q3_v).
+
+    Same per-method semantics as ``downsample`` (reference
+    enums.py:75-126 resampling set); computing them together shares the
+    scan and the single groupBy — at 100 TB a pyramid build wants one
+    pass, not nine. ``mode`` needs a different plan shape (count-rank
+    window) and stays in ``downsample``.
+    """
+    aggs = []
+    for m in methods:
+        if m == "average":
+            aggs.append(F.round(F.avg("value"), 6).alias("avg_v"))
+        elif m == "min":
+            aggs.append(F.min("value").alias("min_v"))
+        elif m == "max":
+            aggs.append(F.max("value").alias("max_v"))
+        elif m == "sum":
+            aggs.append(F.sum("value").alias("sum_v"))
+        elif m == "count":
+            aggs.append(F.count("value").cast("double").alias("cnt_v"))
+        elif m == "rms":
+            aggs.append(F.round(F.sqrt(F.avg(F.col("value") * F.col("value"))), 6).alias("rms_v"))
+        elif m in ("med", "q1", "q3"):
+            q = {"med": 0.5, "q1": 0.25, "q3": 0.75}[m]
+            aggs.append(F.round(F.expr(f"percentile(value, {q})"), 6).alias(f"{m}_v"))
+        else:
+            raise ValueError(f"unsupported downsample_stats method {m!r}")
+    return (
+        cells.where(F.col("valid"))
+        .groupBy(
+            "band",
+            F.expr(f"row DIV {factor}").cast("int").alias("row"),
+            F.expr(f"col DIV {factor}").cast("int").alias("col"),
+        )
+        .agg(*aggs)
+    )
+
+
+def downsample_stats_sql(
+    factor: int, methods: tuple[str, ...] = DOWNSAMPLE_STATS_METHODS, cells_cte: str = "cells"
+) -> str:
+    """DuckDB twin of downsample_stats (same aliases, same rounding)."""
+    col_sql = {
+        "average": "round(avg(value), 6) AS avg_v",
+        "min": "min(value) AS min_v",
+        "max": "max(value) AS max_v",
+        "sum": "sum(value) AS sum_v",
+        "count": "CAST(count(value) AS DOUBLE) AS cnt_v",
+        "rms": "round(sqrt(avg(value * value)), 6) AS rms_v",
+        "med": "round(quantile_cont(value, 0.5), 6) AS med_v",
+        "q1": "round(quantile_cont(value, 0.25), 6) AS q1_v",
+        "q3": "round(quantile_cont(value, 0.75), 6) AS q3_v",
+    }
+    cols = ", ".join(col_sql[m] for m in methods)
+    return f"""
+        SELECT band,
+               CAST(row // {factor} AS INTEGER) AS row,
+               CAST(col // {factor} AS INTEGER) AS col,
+               {cols}
+        FROM {cells_cte} WHERE valid
+        GROUP BY 1, 2, 3
+    """
+
+
 def build_overviews(cells: DataFrame, factors: list[int], method: str = "average") -> dict[int, DataFrame]:
     """Materialized LOD pyramid: {factor: overview DataFrame}."""
     return {f: downsample(cells, f, method) for f in factors}

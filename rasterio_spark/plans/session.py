@@ -23,6 +23,17 @@ def get_session(
         cores = int(os.environ.get("SPARK_GRAFT_CPUS", "32"))
     if shuffle_partitions is None:
         shuffle_partitions = max(cores, 8)
+    # Python workers must be able to unpickle UDF closures that
+    # reference this package regardless of the driver's cwd: ship the
+    # package root on the executors' PYTHONPATH (on a real cluster the
+    # deployment does this with --py-files / a conda env).
+    pkg_root = os.path.dirname(os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+    worker_pp = os.environ.get("PYTHONPATH", "")
+    if pkg_root not in worker_pp.split(os.pathsep):
+        worker_pp = f"{pkg_root}{os.pathsep}{worker_pp}" if worker_pp else pkg_root
+        # local mode: workers inherit the driver process env, which must
+        # be set before the JVM (and its python worker daemon) launches
+        os.environ["PYTHONPATH"] = worker_pp
     builder = (
         SparkSession.builder.master(f"local[{cores}]")
         .appName(app_name)
@@ -35,6 +46,7 @@ def get_session(
         .config("spark.driver.memory", os.environ.get("SPARK_DRIVER_MEMORY", "16g"))
         .config("spark.ui.enabled", "false")
         .config("spark.sql.autoBroadcastJoinThreshold", str(64 * 1024 * 1024))
+        .config("spark.executorEnv.PYTHONPATH", worker_pp)
     )
     for k, v in (extra_conf or {}).items():
         builder = builder.config(k, v)

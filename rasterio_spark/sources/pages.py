@@ -121,6 +121,19 @@ def with_geocode(pages: DataFrame, skew: bool = False, method: str = "sha2") -> 
         # carries them (ingest-geocoded — the scale architecture), else
         # compute the oracle-parity sha2 geocode inline.
         if "lon" in pages.columns and "lat" in pages.columns:
+            if skew:
+                # stored columns carry whatever skew was baked in at
+                # ingest; an explicit skew request here is not applied —
+                # signal it instead of silently ignoring (ADVICE r2)
+                import warnings
+
+                warnings.warn(
+                    "geocode method 'auto' is using materialized lon/lat columns; "
+                    "skew=True is not applied post-ingest (the stored columns keep "
+                    "whatever skew was baked in) — re-ingest with "
+                    "with_geocode(skew=True) or pass method='sha2' to recompute",
+                    stacklevel=2,
+                )
             return pages
         method = "sha2"
     if method == "stored":

@@ -1,0 +1,194 @@
+"""Round-3 additions: zonal_stats, downsample_stats, multiband stack,
+knn DataFrame-input path, kmeans oracle determinism, geocode skew
+signal."""
+
+from __future__ import annotations
+
+import warnings
+
+import pytest
+from pyspark.sql import functions as F
+
+
+def _cells(spark):
+    """Small deterministic 2-band cell grid."""
+    return spark.range(0, 256).select(
+        (1 + F.col("id") % 2).cast("int").alias("band"),
+        F.expr("CAST((id DIV 2) DIV 8 AS INT)").alias("row"),
+        F.expr("CAST((id DIV 2) % 8 AS INT)").alias("col"),
+        ((F.col("id") * 37) % 101).cast("double").alias("value"),
+        (F.col("id") % 7 != 0).alias("valid"),
+    )
+
+
+def test_downsample_stats_matches_per_method(spark):
+    """Every column of the fused query equals the standalone method."""
+    from rasterio_spark.operators.warp import downsample, downsample_stats
+
+    cells = _cells(spark)
+    fused = {
+        (r["band"], r["row"], r["col"]): r
+        for r in downsample_stats(cells, factor=4).collect()
+    }
+    col_of = {
+        "average": "avg_v", "min": "min_v", "max": "max_v", "sum": "sum_v",
+        "count": "cnt_v", "rms": "rms_v", "med": "med_v", "q1": "q1_v", "q3": "q3_v",
+    }
+    for method, col in col_of.items():
+        solo = downsample(cells, factor=4, method=method).collect()
+        assert solo, method
+        for r in solo:
+            got = fused[(r["band"], r["row"], r["col"])][col]
+            want = r["value"]
+            if method == "sum":
+                assert abs(got - want) < 1e-9, (method, r)
+            else:
+                assert got == pytest.approx(want, abs=1e-6), (method, r)
+
+
+def test_stack_multiband_offsets(spark):
+    """A 2-band source followed by a 1-band source: bands 1,2,3."""
+    from rasterio_spark.operators.merge import stack
+
+    two_band = _cells(spark)  # bands 1,2
+    one_band = _cells(spark).where(F.col("band") == 1)
+    out = stack([two_band, one_band], band_counts=[2, 1])
+    bands = sorted(r["band"] for r in out.select("band").distinct().collect())
+    assert bands == [1, 2, 3]
+    # band 3 content == source band 1 content
+    b3 = {(r["row"], r["col"]): r["value"] for r in out.where("band = 3").collect()}
+    b1 = {(r["row"], r["col"]): r["value"] for r in one_band.collect()}
+    assert b3 == b1
+
+
+def test_stack_band_counts_mismatch(spark):
+    from rasterio_spark.operators.merge import stack
+
+    with pytest.raises(ValueError):
+        stack([_cells(spark)], band_counts=[1, 2])
+
+
+def test_zonal_stats_square(spark):
+    """Hand-checked zone: a square over a constant-ish grid."""
+    from rasterio_spark.operators.stats import zonal_stats
+
+    cells = spark.range(0, 64).select(
+        F.lit(1).cast("int").alias("band"),
+        F.expr("CAST(id DIV 8 AS INT)").alias("row"),
+        (F.col("id") % 8).cast("int").alias("col"),
+        F.col("id").cast("double").alias("value"),
+        F.lit(True).alias("valid"),
+    )
+    square = {
+        "type": "Polygon",
+        "coordinates": [[(2, 2), (2, 4), (4, 4), (4, 2), (2, 2)]],
+    }
+    rows = zonal_stats(cells, [square], (8, 8)).collect()
+    assert len(rows) == 1
+    r = rows[0]
+    # center rule: cells (2,2),(2,3),(3,2),(3,3) -> ids 18,19,26,27
+    assert r["n_cells"] == 4
+    assert r["vmin"] == 18.0 and r["vmax"] == 27.0
+    assert r["vsum"] == pytest.approx(90.0)
+    assert r["vmean"] == pytest.approx(22.5)
+
+
+def test_zonal_stats_overlapping_shapes_counted_separately(spark):
+    """Overlapping zones each see their full cover (not REPLACE'd)."""
+    from rasterio_spark.operators.stats import zonal_stats
+
+    cells = spark.range(0, 64).select(
+        F.lit(1).cast("int").alias("band"),
+        F.expr("CAST(id DIV 8 AS INT)").alias("row"),
+        (F.col("id") % 8).cast("int").alias("col"),
+        F.lit(1.0).alias("value"),
+        F.lit(True).alias("valid"),
+    )
+    sq = lambda x0, y0, x1, y1: {
+        "type": "Polygon",
+        "coordinates": [[(x0, y0), (x0, y1), (x1, y1), (x1, y0), (x0, y0)]],
+    }
+    out = {
+        r["shape_id"]: r["n_cells"]
+        for r in zonal_stats(cells, [sq(0, 0, 4, 4), sq(2, 2, 6, 6)], (8, 8)).collect()
+    }
+    assert out == {0: 16, 1: 16}
+
+
+def test_zonal_stats_multipart_dedup(spark):
+    """A MultiPolygon whose parts overlap: cover deduplicated."""
+    from rasterio_spark.operators.stats import zonal_stats
+
+    cells = spark.range(0, 16).select(
+        F.lit(1).cast("int").alias("band"),
+        F.expr("CAST(id DIV 4 AS INT)").alias("row"),
+        (F.col("id") % 4).cast("int").alias("col"),
+        F.lit(2.0).alias("value"),
+        F.lit(True).alias("valid"),
+    )
+    ring = lambda x0, y0, x1, y1: [(x0, y0), (x0, y1), (x1, y1), (x1, y0), (x0, y0)]
+    mp = {
+        "type": "MultiPolygon",
+        "coordinates": [[ring(0, 0, 2, 2)], [ring(1, 1, 3, 3)]],
+    }
+    rows = zonal_stats(cells, [mp], (4, 4)).collect()
+    assert len(rows) == 1
+    # union cover: 4 + 4 - 1 overlap = 7 cells
+    assert rows[0]["n_cells"] == 7
+
+
+def test_knn_df_input_equals_list_path(spark):
+    """DataFrame query input returns exactly the list path's rows."""
+    from rasterio_spark.operators.join import knn_join
+    from rasterio_spark.sources.pages import synth_pages
+
+    pages = synth_pages(spark, 3000)
+    queries = [(0, 10.0, 10.0), (1, -170.0, 80.0), (2, 100.5, 40.5)]
+    base = {
+        (r["query_id"], r["rank"]): (r["url"], r["dist2"])
+        for r in knn_join(pages, queries, k=4).collect()
+    }
+    qdf = spark.createDataFrame(queries, "query_id long, qlon double, qlat double")
+    dfp = {
+        (r["query_id"], r["rank"]): (r["url"], r["dist2"])
+        for r in knn_join(pages, qdf, k=4).collect()
+    }
+    assert dfp == base
+    from rasterio_spark.plans.cache import release_persisted
+
+    release_persisted()
+
+
+def test_kmeans_oracle_matches_duckdb(spark, tmp_path):
+    """The unrolled-CTE DuckDB twin reproduces kmeans_fit exactly on a
+    small synthetic embedding table."""
+    import duckdb
+    import numpy as np
+
+    from rasterio_spark.operators.similarity import kmeans_assign_sql, kmeans_fit
+
+    rng = np.random.default_rng(7)
+    vecs = rng.normal(size=(60, 8)).astype("float32")
+    rows = [(int(i), [float(x) for x in vecs[i]]) for i in range(60)]
+    emb = spark.createDataFrame(rows, "vec_id long, embedding array<float>")
+    assign, _ = kmeans_fit(emb, k=4, iters=2)
+    got = {r["vec_id"]: r["cluster"] for r in assign.collect()}
+
+    import pandas as pd
+
+    pdf = pd.DataFrame({"vec_id": [r[0] for r in rows], "embedding": [r[1] for r in rows]})
+    con = duckdb.connect()
+    con.register("embeddings", pdf)
+    want = dict(con.execute(kmeans_assign_sql(k=4, iters=2)).fetchall())
+    assert got == want
+
+
+def test_geocode_auto_skew_warns(spark):
+    from rasterio_spark.sources.pages import synth_pages, with_geocode
+
+    stored = with_geocode(synth_pages(spark, 10))  # materialize lon/lat
+    with warnings.catch_warnings(record=True) as rec:
+        warnings.simplefilter("always")
+        out = with_geocode(stored, skew=True, method="auto")
+    assert any("skew" in str(w.message) for w in rec)
+    assert out is stored
