@@ -30,6 +30,10 @@ sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
 
 SF_DIR = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
 CPUS = int(os.environ.get("SPARK_GRAFT_CPUS", "32"))
+# disjoint-shard offset for the multi-process scaling harness
+# (tools/scaling_hunt.py --multiproc): each worker process reads pages
+# [OFFSET, OFFSET + n)
+OFFSET = int(os.environ.get("BENCH_OFFSET", "0"))
 
 
 def sf_of(sf_dir: str) -> float:
@@ -58,11 +62,12 @@ def ensure_pages(spark, n: int, geocoded: bool = True) -> str:
     in) and persisted as columns, so the timed pipeline never hashes —
     queries then run with geocode='stored'."""
     suffix = "geo_" if geocoded else ""
-    path = os.path.join(PAGES_CACHE, f"pages_{suffix}{n}")
+    off = f"_o{OFFSET}" if OFFSET else ""
+    path = os.path.join(PAGES_CACHE, f"pages_{suffix}{n}{off}")
     if not os.path.exists(os.path.join(path, "_SUCCESS")):
         from rasterio_spark.sources.pages import synth_pages, with_geocode
 
-        df = synth_pages(spark, n, partitions=64)
+        df = synth_pages(spark, n, partitions=64, offset=OFFSET)
         if geocoded:
             df = with_geocode(df, skew=True, method="sha2")
         # fixed file count so every parallelism level reads identical input
@@ -220,9 +225,41 @@ def run_suite(spark, sf_dir: str, n: int) -> dict[str, float]:
     return timings
 
 
+def _await_barrier() -> None:
+    """Multi-process sync: BENCH_BARRIER='dir:count'. Each worker drops
+    a ready-file after its (untimed) cache build + warm-up, then spins
+    until all workers are ready — so the timed windows of concurrent
+    local[8] processes actually overlap (emulating N executors)."""
+    spec = os.environ.get("BENCH_BARRIER")
+    if not spec:
+        return
+    bdir, count = spec.rsplit(":", 1)
+    os.makedirs(bdir, exist_ok=True)
+    with open(os.path.join(bdir, f"ready.{OFFSET}.{os.getpid()}"), "w") as f:
+        f.write("1")
+    deadline = time.time() + 600
+    while time.time() < deadline:
+        if len([f for f in os.listdir(bdir) if f.startswith("ready.")]) >= int(count):
+            return
+        time.sleep(0.25)
+    raise TimeoutError(f"barrier {spec} never filled")
+
+
 def main() -> None:
     if "--scaling" in sys.argv:
         run_scaling()
+        return
+    if "--prepare-only" in sys.argv:
+        # build this shard's parquet caches (full + warm-up size) and
+        # exit — run sequentially before a concurrent scaling pass so
+        # no worker writes a cache while another's clock is running
+        from rasterio_spark.plans.session import get_session
+
+        n = int(os.environ.get("BENCH_N", "600000"))
+        spark = get_session(app_name="bench_prepare", cores=8, shuffle_partitions=8)
+        ensure_pages(spark, n)
+        ensure_pages(spark, min(n, 100_000))
+        spark.stop()
         return
     if "--headline-only" in sys.argv:
         # subprocess mode for scaling runs: print seconds + rows
@@ -231,6 +268,7 @@ def main() -> None:
         n = int(os.environ.get("BENCH_N", "600000"))
         spark = get_session(app_name="bench_headline", cores=CPUS, shuffle_partitions=max(CPUS, 8))
         run_headline(spark, min(n, 100_000))  # warm-up (JIT, codegen)
+        _await_barrier()
         times = []
         rows = 0
         for _ in range(4):
@@ -269,9 +307,14 @@ def main() -> None:
     # attach the latest large-scale scaling evidence (BENCH/BASELINE.md
     # protocol) if a hunt log exists: the sf-scale headline above is
     # fixed-overhead-dominated; the north-rule numbers live at 96M
-    log = os.path.join(os.path.dirname(os.path.abspath(__file__)), "BENCH", "scaling_log.jsonl")
+    bench_dir = os.path.join(os.path.dirname(os.path.abspath(__file__)), "BENCH")
+    log = os.path.join(bench_dir, "scaling_log.jsonl")
     if os.path.exists(log):
         recs = [json.loads(l) for l in open(log)]
+        # only cycles at the latest record's page count: minima taken
+        # across mixed-n cycles would pair a small-n time with a large-n
+        # row count (ADVICE r2)
+        recs = [r for r in recs if recs and r["n"] == recs[-1]["n"]]
         if recs:
             g8 = min(r["sec8"] for r in recs)
             g32 = min(r["sec32"] for r in recs)
@@ -289,6 +332,20 @@ def main() -> None:
                     max(r.get("jvm_control_eff", 0.0) for r in recs),
                 ],
                 "cycles": len(recs),
+            }
+    mp_log = os.path.join(bench_dir, "scaling_mp_log.jsonl")
+    if os.path.exists(mp_log):
+        mrecs = [json.loads(l) for l in open(mp_log)]
+        mrecs = [r for r in mrecs if mrecs and r["n"] == mrecs[-1]["n"]]
+        if mrecs:
+            best = max(mrecs, key=lambda r: r["eff"])
+            out["scaling_multiproc"] = {
+                "n_pages": best["n"],
+                "workers": best["workers"],
+                "tp1": best["tp1"],
+                "tp4": best["tp4"],
+                "efficiency": best["eff"],
+                "cycles": len(mrecs),
             }
     print(json.dumps(out))
     spark.stop()

@@ -25,11 +25,18 @@ each of ours wraps the same operator the matching rio command wraps):
     convert     copy with value dtype cast           (rio convert)
     join        pages x polygons PIP join
     knn         k nearest pages per query point
+    env         engine/session environment report    (rio env)
+    edit-info   edit a layer's descriptor sidecar    (rio edit_info)
+    create      new empty layer (descriptor + table) (rio create)
+    rm          delete a layer table                 (rio rm)
     bench       run the benchmark suite
 
-Not mapped: rio env/edit-info (dataset sidecar metadata — the engine's
-metadata lives in the catalog/descriptor, not a file header), gdal-era
-format plumbing (insp/shim).
+With env / edit-info / create / rm the reference subcommand surface is
+fully mapped; not mapped is only gdal-era format plumbing (insp/shim,
+gcps — no GCP georeferencing by design, SURVEY.md §1.1). edit-info
+operates on the `_descriptor.json` sidecar (sources/layers.py) — the
+engine's dataset header — mirroring rio edit_info's in-place header
+edits (nodata / crs / tags).
 
 All ops read/write parquet paths. Ship with
 ``spark-submit --py-files rasterio_spark.zip -m rasterio_spark.cli``.
@@ -59,7 +66,8 @@ def main(argv: list[str] | None = None) -> int:
     p.add_argument("op", choices=[
         "info", "tile", "rasterize", "shapes", "sieve", "merge", "stack",
         "warp", "overview", "calc", "sample", "clip", "mask", "blocks",
-        "bounds", "transform", "convert", "join", "knn", "bench",
+        "bounds", "transform", "convert", "join", "knn", "env",
+        "edit-info", "create", "rm", "bench",
     ])
     p.add_argument("--input", help="input parquet path (pages or cells table)")
     p.add_argument("--inputs", nargs="+", help="multiple inputs (stack)")
@@ -81,18 +89,104 @@ def main(argv: list[str] | None = None) -> int:
     p.add_argument("--size", type=int, default=2, help="shapes: sieve threshold")
     p.add_argument("--connectivity", type=int, default=4, choices=[4, 8])
     p.add_argument("--limit", type=int, default=20, help="rows to show without --output")
+    p.add_argument("--nodata", type=float, help="edit-info: set nodata value")
+    p.add_argument("--set-crs", help="edit-info: set the layer CRS")
+    p.add_argument("--tag", action="append", default=[], help="edit-info: KEY=VALUE tag (repeatable)")
+    p.add_argument("--descriptor", action="store_true", help="info: include the descriptor sidecar")
+    p.add_argument("--width", type=int, default=256, help="create: layer width")
+    p.add_argument("--height", type=int, default=256, help="create: layer height")
+    p.add_argument("--count", type=int, default=1, help="create: band count")
     args = p.parse_args(argv)
+
+    if args.op == "rm":
+        # rio rm: delete the dataset (table dir + sidecar), driver-side
+        import shutil
+
+        shutil.rmtree(args.input)
+        print(json.dumps({"removed": args.input}))
+        return 0
+
+    if args.op == "edit-info":
+        # pure driver-side header edit (rio edit_info): no Spark session
+        import dataclasses
+
+        from rasterio_spark.sources.layers import read_descriptor, write_descriptor
+
+        desc = read_descriptor(args.input)
+        updates = {}
+        if args.nodata is not None:
+            updates["nodata"] = args.nodata
+        if args.set_crs:
+            updates["crs"] = args.set_crs
+        if args.tag:
+            tags = dict(desc.tags)
+            tags.update(dict(t.split("=", 1) for t in args.tag))
+            updates["tags"] = tags
+        desc = dataclasses.replace(desc, **updates)
+        write_descriptor(args.input, desc)
+        print(json.dumps(desc.to_dict()))
+        return 0
 
     spark, owned = _session(args)
     out = None
 
-    if args.op == "info":
-        df = spark.read.parquet(args.input)
+    if args.op == "env":
+        import pyspark
+
+        import rasterio_spark
+
+        conf = spark.sparkContext.getConf()
         print(json.dumps({
+            "rasterio_spark": rasterio_spark.__version__,
+            "pyspark": pyspark.__version__,
+            "master": conf.get("spark.master"),
+            "default_parallelism": spark.sparkContext.defaultParallelism,
+            "shuffle_partitions": spark.conf.get("spark.sql.shuffle.partitions"),
+            "adaptive_enabled": spark.conf.get("spark.sql.adaptive.enabled"),
+            "arrow_enabled": spark.conf.get("spark.sql.execution.arrow.pyspark.enabled"),
+            "session_timezone": spark.conf.get("spark.sql.session.timeZone"),
+        }))
+        if owned:
+            spark.stop()
+        return 0
+
+    if args.op == "create":
+        # rio create: a new dataset = empty (band,row,col,value,valid)
+        # table with the layer header in the descriptor sidecar; cells
+        # appear later via partition-overwrite writes (plans/lineage)
+        from rasterio_spark.sources.layers import LayerDescriptor, write_descriptor
+
+        empty = spark.createDataFrame(
+            [], "band int, row int, col int, value double, valid boolean"
+        )
+        empty.write.mode("error").parquet(args.output)
+        desc = LayerDescriptor(
+            width=args.width, height=args.height, count=args.count,
+            dtype=args.dtype, nodata=None,
+        )
+        write_descriptor(args.output, desc)
+        print(json.dumps({"created": args.output, "descriptor": desc.to_dict()}))
+        if owned:
+            spark.stop()
+        return 0
+
+    if args.op == "info":
+        import os as _os
+
+        df = spark.read.parquet(args.input)
+        info = {
             "rows": df.count(),
             "columns": [(f.name, f.dataType.simpleString()) for f in df.schema.fields],
             "files_partitions": df.rdd.getNumPartitions(),
-        }))
+        }
+        if args.descriptor:
+            from rasterio_spark.sources.layers import DESCRIPTOR_SIDECAR, read_descriptor
+
+            if _os.path.exists(_os.path.join(args.input, DESCRIPTOR_SIDECAR)):
+                info["descriptor"] = read_descriptor(args.input).to_dict()
+            else:
+                info["descriptor"] = None
+        print(json.dumps(info))
         if owned:
             spark.stop()
         return 0

@@ -42,6 +42,8 @@ class LayerDescriptor:
     transform: Affine = field(default_factory=Affine.identity)
     nodata: float | None = None
     block_shape: tuple[int, int] = (256, 256)
+    # free-form metadata tags (reference update_tags/edit_info surface)
+    tags: dict = field(default_factory=dict)
 
     def window(self) -> Window:
         """The full-extent window."""
@@ -59,6 +61,31 @@ class LayerDescriptor:
         d["transform"] = Affine(*d["transform"])
         d["block_shape"] = tuple(d["block_shape"])
         return cls(**d)
+
+
+DESCRIPTOR_SIDECAR = "_descriptor.json"
+
+
+def write_descriptor(table_path: str, desc: LayerDescriptor) -> str:
+    """Persist a layer's descriptor next to its parquet files — the
+    engine's dataset header (reference _base.pyx:239-280 attributes;
+    edited by `cli edit-info` like rio edit_info edits the GDAL
+    header in place)."""
+    import json
+    import os
+
+    p = os.path.join(table_path, DESCRIPTOR_SIDECAR)
+    with open(p, "w") as f:
+        json.dump(desc.to_dict(), f, indent=1, sort_keys=True)
+    return p
+
+
+def read_descriptor(table_path: str) -> LayerDescriptor:
+    import json
+    import os
+
+    with open(os.path.join(table_path, DESCRIPTOR_SIDECAR)) as f:
+        return LayerDescriptor.from_dict(json.load(f))
 
 
 def identity_layer(width: int = 10, height: int = 10, **kw) -> LayerDescriptor:

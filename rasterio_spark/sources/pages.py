@@ -84,11 +84,15 @@ def pages_from_documents(spark: SparkSession, sf_dir: str, replicas: int = REPLI
     return _build_pages(ids, "i")
 
 
-def synth_pages(spark: SparkSession, n: int, partitions: int | None = None) -> DataFrame:
+def synth_pages(
+    spark: SparkSession, n: int, partitions: int | None = None, offset: int = 0
+) -> DataFrame:
     """Standalone generator for benches: ``spark.range(n)``-driven, same
     formulas. For the Zipf skew variant, chain ``with_geocode(df,
-    skew=True)`` (FIXTURES.md §1)."""
-    ids = spark.range(0, n, 1, partitions or spark.sparkContext.defaultParallelism)
+    skew=True)`` (FIXTURES.md §1). ``offset`` shifts the id range —
+    disjoint shards for the multi-process scaling harness
+    (pages i in [offset, offset + n))."""
+    ids = spark.range(offset, offset + n, 1, partitions or spark.sparkContext.defaultParallelism)
     return _build_pages(ids.select(F.col("id").alias("i")), "i")
 
 

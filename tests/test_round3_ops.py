@@ -192,3 +192,49 @@ def test_geocode_auto_skew_warns(spark):
         out = with_geocode(stored, skew=True, method="auto")
     assert any("skew" in str(w.message) for w in rec)
     assert out is stored
+
+
+def test_cli_env_edit_info(spark, tmp_path, capsys):
+    """The last two rio analogues: env report + descriptor header edit."""
+    import json
+
+    from pyspark.sql import functions as F
+
+    from rasterio_spark import cli
+    from rasterio_spark.sources.layers import (
+        LayerDescriptor,
+        read_descriptor,
+        write_descriptor,
+    )
+
+    assert cli.main(["env", "--cores", "4"]) == 0
+    env = json.loads(capsys.readouterr().out.strip().splitlines()[-1])
+    assert env["pyspark"] and env["adaptive_enabled"] == "true"
+
+    table = str(tmp_path / "layer")
+    _cells(spark).write.parquet(table)
+    write_descriptor(table, LayerDescriptor(width=8, height=16, count=2, nodata=0.0))
+    assert cli.main([
+        "edit-info", "--input", table, "--nodata", "-1", "--tag", "owner=me",
+    ]) == 0
+    desc = read_descriptor(table)
+    assert desc.nodata == -1.0 and desc.tags == {"owner": "me"}
+    # untouched fields survive the edit round-trip
+    assert (desc.width, desc.height, desc.count) == (8, 16, 2)
+
+    assert cli.main(["info", "--input", table, "--descriptor", "--cores", "4"]) == 0
+    info = json.loads(capsys.readouterr().out.strip().splitlines()[-1])
+    assert info["descriptor"]["nodata"] == -1.0
+
+    # create + rm round-trip
+    new_table = str(tmp_path / "created")
+    assert cli.main([
+        "create", "--output", new_table, "--width", "32", "--height", "16",
+        "--cores", "4",
+    ]) == 0
+    assert read_descriptor(new_table).width == 32
+    assert spark.read.parquet(new_table).count() == 0
+    assert cli.main(["rm", "--input", new_table]) == 0
+    import os
+
+    assert not os.path.exists(new_table)

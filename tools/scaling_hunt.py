@@ -17,8 +17,17 @@ ran on a healthy host), which is the honest analogue of "run it on a
 quiet cluster".
 
 Usage:
-    python tools/scaling_hunt.py [cycles] [n_pages]   # hunt
-    python tools/scaling_hunt.py --report             # write BASELINE.md
+    python tools/scaling_hunt.py [cycles] [n_pages]        # hunt (8 vs 32 threads)
+    python tools/scaling_hunt.py --multiproc [cycles] [n]  # 1x vs 4x local[8] JVMs
+    python tools/scaling_hunt.py --report                  # print summary JSON
+
+The --multiproc mode is the honest N-vs-4N emulation (round-3 VERDICT
+item 6): the north rule's "two cluster sizes" means 4x as many
+EXECUTORS — independent JVM heaps, schedulers, and GC — not 4x threads
+inside one heap. It times 1 x local[8] over one quarter-shard against
+4 concurrent local[8] processes over four disjoint quarter-shards
+(barrier-synced so the timed windows overlap), and logs aggregate
+throughput + efficiency to BENCH/scaling_mp_log.jsonl.
 """
 
 from __future__ import annotations
@@ -103,6 +112,105 @@ def run_session(cpus: int, n: int, runs: int = 4) -> dict:
     return json.loads(line)
 
 
+MP_LOG = os.path.join(REPO, "BENCH", "scaling_mp_log.jsonl")
+
+
+def _headline_env(cpus: int, n: int, offset: int, barrier: str | None) -> dict:
+    env = dict(
+        os.environ,
+        SPARK_GRAFT_CPUS=str(cpus),
+        BENCH_N=str(n),
+        BENCH_OFFSET=str(offset),
+        BENCH_GEOCODE="stored",
+    )
+    if barrier:
+        env["BENCH_BARRIER"] = barrier
+    else:
+        env.pop("BENCH_BARRIER", None)
+    return env
+
+
+def _last_json(text: str) -> dict:
+    return json.loads([l for l in text.strip().splitlines() if l.startswith("{")][-1])
+
+
+def multiproc_hunt(cycles: int, n: int, workers: int = 4) -> None:
+    """1 x local[8] on one shard vs `workers` concurrent local[8] JVMs
+    on disjoint shards; efficiency = tpN / (workers * tp1)."""
+    import shutil
+    import tempfile
+
+    os.makedirs(os.path.dirname(MP_LOG), exist_ok=True)
+    shard = n // workers
+    bench = os.path.join(REPO, "bench.py")
+    # build every shard's parquet cache sequentially (untimed setup)
+    for w in range(workers):
+        subprocess.run(
+            [sys.executable, bench, "--prepare-only"],
+            env=_headline_env(8, shard, w * shard, None),
+            capture_output=True,
+            timeout=3600,
+            cwd=REPO,
+        )
+    for c in range(cycles):
+        probe0 = host_probe()
+        ctp8, ctp32, ceff = control_pair()
+        # baseline: one local[8] JVM, shard 0
+        base = _last_json(
+            subprocess.run(
+                [sys.executable, bench, "--headline-only"],
+                env=_headline_env(8, shard, 0, None),
+                capture_output=True,
+                text=True,
+                timeout=3600,
+                cwd=REPO,
+            ).stdout
+        )
+        probe1 = host_probe()
+        # concurrent: `workers` local[8] JVMs, disjoint shards, one
+        # barrier after warm-up so the timed windows overlap
+        bdir = tempfile.mkdtemp(prefix="mp_barrier_")
+        try:
+            procs = [
+                subprocess.Popen(
+                    [sys.executable, bench, "--headline-only"],
+                    env=_headline_env(8, shard, w * shard, f"{bdir}:{workers}"),
+                    stdout=subprocess.PIPE,
+                    stderr=subprocess.DEVNULL,
+                    text=True,
+                    cwd=REPO,
+                )
+                for w in range(workers)
+            ]
+            outs = [_last_json(p.communicate(timeout=3600)[0]) for p in procs]
+        finally:
+            shutil.rmtree(bdir, ignore_errors=True)
+        probe2 = host_probe()
+        tp1 = (shard + base["rows"]) / base["sec"]
+        tp4 = sum((shard + o["rows"]) / o["sec"] for o in outs)
+        rec = {
+            "mode": "multiproc",
+            "cycle": c,
+            "workers": workers,
+            "n": n,
+            "shard": shard,
+            "probe_before": round(probe0, 3),
+            "probe_mid": round(probe1, 3),
+            "probe_after": round(probe2, 3),
+            "control_eff": round(ceff, 4),
+            "base_sec": base["sec"],
+            "worker_secs": [o["sec"] for o in outs],
+            "tp1": round(tp1, 1),
+            "tp4": round(tp4, 1),
+            "eff": round(tp4 / (workers * tp1), 4),
+            "ts": time.strftime("%H:%M:%S"),
+        }
+        with open(MP_LOG, "a") as f:
+            f.write(json.dumps(rec) + "\n")
+        print(json.dumps(rec), flush=True)
+        time.sleep(5)
+
+
 def hunt(cycles: int, n: int) -> None:
     os.makedirs(os.path.dirname(LOG), exist_ok=True)
     import engine_control as ec
@@ -146,6 +254,9 @@ def report() -> None:
     recs = [json.loads(l) for l in open(LOG)]
     if not recs:
         raise SystemExit("no cycles logged")
+    # only cycles at the latest n/config: cross-n minima would pair a
+    # small-n time with a large-n row count (ADVICE r2)
+    recs = [r for r in recs if r["n"] == recs[-1]["n"]]
     best_probe = min(min(r["probe_before"], r["probe_mid"], r["probe_after"]) for r in recs)
     # calm cycle: every probe within 25% of the best ever seen
     calm = [
@@ -156,31 +267,37 @@ def report() -> None:
     pool = calm if calm else recs
     best = max(pool, key=lambda r: r["eff"])
     best_cal = max(pool, key=lambda r: r.get("calibrated_eff") or 0.0)
-    # throughput view over ALL cycles (global best-of, the r1 protocol)
+    # throughput view over the same-n cycles (global best-of, r1 protocol)
     g8 = min(r["sec8"] for r in recs)
     g32 = min(r["sec32"] for r in recs)
-    rows = recs[0]["rows"]
-    print(
-        json.dumps(
-            {
-                "cycles": len(recs),
-                "calm_cycles": len(calm),
-                "best_probe": best_probe,
-                "best_calm_pair": best,
-                "best_calibrated_pair": best_cal,
-                "global_best_sec8": g8,
-                "global_best_sec32": g32,
-                "global_best_eff": round((rows / g32) / (rows / g8) / 4.0, 4),
-            },
-            indent=2,
-        )
-    )
+    rows = recs[-1]["rows"]
+    summary = {
+        "cycles": len(recs),
+        "calm_cycles": len(calm),
+        "best_probe": best_probe,
+        "best_calm_pair": best,
+        "best_calibrated_pair": best_cal,
+        "global_best_sec8": g8,
+        "global_best_sec32": g32,
+        "global_best_eff": round((rows / g32) / (rows / g8) / 4.0, 4),
+    }
+    if os.path.exists(MP_LOG):
+        mrecs = [json.loads(l) for l in open(MP_LOG)]
+        mrecs = [r for r in mrecs if mrecs and r["n"] == mrecs[-1]["n"]]
+        if mrecs:
+            summary["multiproc_best"] = max(mrecs, key=lambda r: r["eff"])
+            summary["multiproc_cycles"] = len(mrecs)
+    print(json.dumps(summary, indent=2))
 
 
 if __name__ == "__main__":
     if "--report" in sys.argv:
         report()
     else:
-        cycles = int(sys.argv[1]) if len(sys.argv) > 1 else 6
-        n = int(sys.argv[2]) if len(sys.argv) > 2 else 24_000_000
-        hunt(cycles, n)
+        args = [a for a in sys.argv[1:] if not a.startswith("--")]
+        cycles = int(args[0]) if args else 6
+        n = int(args[1]) if len(args) > 1 else 24_000_000
+        if "--multiproc" in sys.argv:
+            multiproc_hunt(cycles, n)
+        else:
+            hunt(cycles, n)
