@@ -245,6 +245,11 @@ def reproject(
             (F.col("_tw") > 0).alias("valid"),
         )
 
+    if resampling in ("cubic", "cubic_spline", "lanczos"):
+        return _kernel_reproject(
+            dom, src_cells, bands, resampling, dst_nodata
+        )
+
     if resampling == "average":
         # area method: each valid src cell lands in one dst cell
         a, b, c, d, e, f = dst_transform
@@ -285,6 +290,96 @@ def reproject(
     raise ValueError(f"unsupported resampling {resampling!r}")
 
 
+def _kernel_weight(method: str, t):
+    """Separable resampling kernel weight at |distance| t (a Column).
+
+    Formulas are the public GDAL/standard kernels (reference
+    enums.py:75-126 names; kernels per Keys 1981 / B-spline / Lanczos):
+      cubic        — Keys convolution, a = -0.5, support 2
+      cubic_spline — cubic B-spline (smoothing), support 2
+      lanczos      — sinc windowed sinc, a = 3, support 3
+    """
+    t2, t3 = t * t, t * t * t
+    if method == "cubic":
+        a = -0.5
+        near = (a + 2.0) * t3 - (a + 3.0) * t2 + 1.0
+        far = a * t3 - 5.0 * a * t2 + 8.0 * a * t - 4.0 * a
+        return F.when(t <= 1.0, near).when(t < 2.0, far).otherwise(F.lit(0.0))
+    if method == "cubic_spline":
+        near = (4.0 - 6.0 * t2 + 3.0 * t3) / 6.0
+        two_m = 2.0 - t
+        far = (two_m * two_m * two_m) / 6.0
+        return F.when(t <= 1.0, near).when(t < 2.0, far).otherwise(F.lit(0.0))
+    if method == "lanczos":
+        pi_t = F.lit(math.pi) * t
+        sinc = F.when(t < 1e-12, F.lit(1.0)).otherwise(F.sin(pi_t) / pi_t)
+        pi_t3 = pi_t / 3.0
+        sinc3 = F.when(t < 1e-12, F.lit(1.0)).otherwise(F.sin(pi_t3) / pi_t3)
+        return F.when(t < 3.0, sinc * sinc3).otherwise(F.lit(0.0))
+    raise ValueError(f"no kernel for {method!r}")
+
+
+_KERNEL_SUPPORT = {"cubic": 2, "cubic_spline": 2, "lanczos": 3}
+
+
+def _kernel_reproject(dom, src_cells, bands, method: str, dst_nodata: float):
+    """Separable-kernel inverse-map warp: explode the (2s)x(2s) source
+    stencil per dst cell, weight with the 1-D kernel in each axis, and
+    normalize by the sum of valid weights (the GDAL warper's nodata
+    renormalization; with a fully-valid stencil the kernel sums to 1
+    and this is the textbook convolution). All arithmetic is JVM
+    expressions — one explode, one equi-join on (band, row, col), one
+    aggregation; no Python in the path.
+    """
+    s = _KERNEL_SUPPORT[method]
+    dom = (
+        dom.withColumn("_gx", F.col("_cf") - 0.5)
+        .withColumn("_gy", F.col("_rf") - 0.5)
+        .withColumn("_c0", F.floor("_gx").cast("int"))
+        .withColumn("_r0", F.floor("_gy").cast("int"))
+        .withColumn("_wx", F.col("_gx") - F.col("_c0"))
+        .withColumn("_wy", F.col("_gy") - F.col("_r0"))
+    )
+    offs = [
+        F.struct(F.lit(dr).alias("dr"), F.lit(dc).alias("dc"))
+        for dr in range(1 - s, s + 1)
+        for dc in range(1 - s, s + 1)
+    ]
+    g = dom.withColumn("_o", F.explode(F.array(*offs)))
+    g = (
+        g.withColumn("_sr", F.col("_r0") + F.col("_o.dr"))
+        .withColumn("_sc", F.col("_c0") + F.col("_o.dc"))
+        .crossJoin(F.broadcast(bands))
+    )
+    wy = _kernel_weight(method, F.abs(F.col("_o.dr").cast("double") - F.col("_wy")))
+    wx = _kernel_weight(method, F.abs(F.col("_o.dc").cast("double") - F.col("_wx")))
+    g = g.withColumn("_w", wy * wx)
+    src = src_cells.select(
+        "band", F.col("row").alias("_sr"), F.col("col").alias("_sc"), "value", "valid"
+    )
+    j = g.join(src, ["band", "_sr", "_sc"], "left")
+    ok = F.col("valid") & F.col("value").isNotNull()
+    j = (
+        j.withColumn("_wv", F.when(ok, F.col("_w")).otherwise(0.0))
+        .withColumn("_n", F.when(ok, 1).otherwise(0))
+    )
+    agg = j.groupBy("band", "row", "col").agg(
+        F.sum(F.when(F.col("_n") == 1, F.col("_w") * F.col("value")).otherwise(0.0)).alias("_num"),
+        F.sum("_wv").alias("_tw"),
+        F.sum("_n").alias("_nv"),
+    )
+    good = (F.col("_nv") > 0) & (F.abs(F.col("_tw")) > 1e-12)
+    return agg.select(
+        "band",
+        "row",
+        "col",
+        F.coalesce(
+            F.when(good, F.round(F.col("_num") / F.col("_tw"), 6)), F.lit(dst_nodata)
+        ).alias("value"),
+        good.alias("valid"),
+    )
+
+
 RESAMPLING_AGGS = (
     "average",
     "mode",
@@ -304,6 +399,8 @@ def downsample(cells: DataFrame, factor: int, method: str = "average") -> DataFr
     child cells into a parent cell (build_overviews semantics;
     resampling set from reference enums.py:75-126; gauss/lanczos/
     cubic_spline documented out of scope)."""
+    if method == "gauss":
+        return _gauss_downsample(cells, factor)
     if method not in RESAMPLING_AGGS:
         raise ValueError(f"unsupported downsample method {method!r}")
     src = cells.where(F.col("valid"))
@@ -344,6 +441,53 @@ def downsample(cells: DataFrame, factor: int, method: str = "average") -> DataFr
             .select("band", "row", "col", "value")
         )
     return g.agg(agg.alias("value"))
+
+
+def _gauss_downsample(cells: DataFrame, factor: int) -> DataFrame:
+    """Gaussian overview (reference enums.py Resampling.gauss; GDAL
+    overview kernel): each dst cell gathers the 3x3 source neighborhood
+    around the block center cell (factor*r + factor//2,
+    factor*c + factor//2) with separable [1, 2, 1] weights, normalized
+    over valid cells. Neighborhoods of adjacent blocks overlap by one
+    source row/col, like GDAL's gaussian overviews. Pure JVM: dst cells
+    come from integer-dividing the SOURCE extent (no driver action),
+    one 9-way explode + equi-join + aggregation."""
+    src = cells.where(F.col("valid"))
+    # dst domain derived from the source cells themselves (block ids
+    # that contain at least one src cell — matches the groupBy domain
+    # of the other downsample methods)
+    dst = (
+        src.select(
+            "band",
+            F.expr(f"row DIV {factor}").cast("int").alias("row"),
+            F.expr(f"col DIV {factor}").cast("int").alias("col"),
+        )
+        .distinct()
+    )
+    half = factor // 2
+    offs = [
+        F.struct(F.lit(dr).alias("dr"), F.lit(dc).alias("dc"))
+        for dr in (-1, 0, 1)
+        for dc in (-1, 0, 1)
+    ]
+    g = dst.withColumn("_o", F.explode(F.array(*offs)))
+    g = (
+        g.withColumn("_sr", F.col("row") * factor + half + F.col("_o.dr"))
+        .withColumn("_sc", F.col("col") * factor + half + F.col("_o.dc"))
+        .withColumn(
+            "_w",
+            (2.0 - F.abs(F.col("_o.dr"))) * (2.0 - F.abs(F.col("_o.dc"))),
+        )
+    )
+    s = src.select("band", F.col("row").alias("_sr"), F.col("col").alias("_sc"), "value")
+    j = g.join(s, ["band", "_sr", "_sc"], "left")
+    agg = j.groupBy("band", "row", "col").agg(
+        F.sum(F.when(F.col("value").isNotNull(), F.col("_w") * F.col("value")).otherwise(0.0)).alias("_num"),
+        F.sum(F.when(F.col("value").isNotNull(), F.col("_w")).otherwise(0.0)).alias("_tw"),
+    )
+    return agg.where(F.col("_tw") > 0).select(
+        "band", "row", "col", F.round(F.col("_num") / F.col("_tw"), 6).alias("value")
+    )
 
 
 def downsample_sql(factor: int, method: str, cells_cte: str = "cells") -> str:

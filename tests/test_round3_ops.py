@@ -238,3 +238,144 @@ def test_cli_env_edit_info(spark, tmp_path, capsys):
     import os
 
     assert not os.path.exists(new_table)
+
+
+def _kernel_np(method, t):
+    import numpy as np
+
+    t = np.abs(t)
+    if method == "cubic":
+        a = -0.5
+        return np.where(
+            t <= 1.0, (a + 2) * t**3 - (a + 3) * t**2 + 1,
+            np.where(t < 2.0, a * t**3 - 5 * a * t**2 + 8 * a * t - 4 * a, 0.0),
+        )
+    if method == "cubic_spline":
+        return np.where(
+            t <= 1.0, (4 - 6 * t**2 + 3 * t**3) / 6,
+            np.where(t < 2.0, (2 - t) ** 3 / 6, 0.0),
+        )
+    if method == "lanczos":
+        import numpy as np
+
+        out = np.where(t < 3.0, np.sinc(t) * np.sinc(t / 3.0), 0.0)
+        return out
+    raise ValueError(method)
+
+
+@pytest.mark.parametrize("method", ["cubic", "cubic_spline", "lanczos"])
+def test_kernel_reproject_matches_numpy(spark, method):
+    """2x upsample of a random grid == independent numpy convolution
+    (interior cells, fully-valid stencils)."""
+    import numpy as np
+
+    from rasterio_spark.grid.affine import Affine
+    from rasterio_spark.operators.warp import reproject
+
+    rng = np.random.default_rng(3)
+    H = W_ = 12
+    grid = rng.uniform(0, 100, size=(H, W_))
+    rows = [
+        (1, r, c, float(grid[r, c]), True) for r in range(H) for c in range(W_)
+    ]
+    cells = spark.createDataFrame(
+        rows, "band int, row int, col int, value double, valid boolean"
+    )
+    out = reproject(
+        cells,
+        src_transform=Affine.identity(),
+        src_crs="EPSG:4326",
+        dst_transform=Affine(0.5, 0.0, 0.0, 0.0, 0.5, 0.0),
+        dst_crs="EPSG:4326",
+        dst_width=2 * W_,
+        dst_height=2 * H,
+        resampling=method,
+        src_nodata=-1.0,
+    )
+    got = {(r["row"], r["col"]): (r["value"], r["valid"]) for r in out.collect()}
+    support = 3 if method == "lanczos" else 2
+    checked = 0
+    for dr in range(2 * H):
+        for dc in range(2 * W_):
+            gx = 0.5 * (dc + 0.5) - 0.5  # src fractional col of dst center
+            gy = 0.5 * (dr + 0.5) - 0.5
+            c0, r0 = int(np.floor(gx)), int(np.floor(gy))
+            if (
+                r0 - support + 1 < 0 or r0 + support >= H
+                or c0 - support + 1 < 0 or c0 + support >= W_
+            ):
+                continue  # stencil leaves the grid: engine renormalizes
+            num = tw = 0.0
+            for odr in range(1 - support, support + 1):
+                for odc in range(1 - support, support + 1):
+                    w = _kernel_np(method, odr - (gy - r0)) * _kernel_np(
+                        method, odc - (gx - c0)
+                    )
+                    num += w * grid[r0 + odr, c0 + odc]
+                    tw += w
+            want = round(num / tw, 6)
+            val, valid = got[(dr, dc)]
+            assert valid
+            assert val == pytest.approx(want, abs=2e-6), (method, dr, dc)
+            checked += 1
+    assert checked > 100
+
+
+def test_cubic_reproduces_linear_field(spark):
+    """Keys cubic interpolates linear functions exactly (interior)."""
+    from rasterio_spark.grid.affine import Affine
+    from rasterio_spark.operators.warp import reproject
+
+    rows = [
+        (1, r, c, float(2.0 * r + 3.0 * c + 5.0), True)
+        for r in range(10)
+        for c in range(10)
+    ]
+    cells = spark.createDataFrame(
+        rows, "band int, row int, col int, value double, valid boolean"
+    )
+    out = reproject(
+        cells,
+        src_transform=Affine.identity(),
+        src_crs="EPSG:4326",
+        dst_transform=Affine(0.5, 0.0, 0.0, 0.0, 0.5, 0.0),
+        dst_crs="EPSG:4326",
+        dst_width=20,
+        dst_height=20,
+        resampling="cubic",
+        src_nodata=-1.0,
+    )
+    for r in out.where("row >= 4 AND row < 16 AND col >= 4 AND col < 16").collect():
+        gy = 0.5 * (r["row"] + 0.5) - 0.5
+        gx = 0.5 * (r["col"] + 0.5) - 0.5
+        assert r["value"] == pytest.approx(2.0 * gy + 3.0 * gx + 5.0, abs=1e-5)
+
+
+def test_gauss_downsample_hand_checked(spark):
+    """factor-2 gauss: 3x3 [1,2,1] kernel around the block center."""
+    import numpy as np
+
+    from rasterio_spark.operators.warp import downsample
+
+    H = W_ = 8
+    grid = np.arange(H * W_, dtype="float64").reshape(H, W_)
+    rows = [(1, r, c, float(grid[r, c]), True) for r in range(H) for c in range(W_)]
+    cells = spark.createDataFrame(
+        rows, "band int, row int, col int, value double, valid boolean"
+    )
+    got = {
+        (r["row"], r["col"]): r["value"]
+        for r in downsample(cells, 2, "gauss").collect()
+    }
+    wts = np.array([[1, 2, 1], [2, 4, 2], [1, 2, 1]], dtype="float64")
+    for br in range(4):
+        for bc in range(4):
+            cr, cc = 2 * br + 1, 2 * bc + 1
+            num = tw = 0.0
+            for i, odr in enumerate((-1, 0, 1)):
+                for j, odc in enumerate((-1, 0, 1)):
+                    rr, cc2 = cr + odr, cc + odc
+                    if 0 <= rr < H and 0 <= cc2 < W_:
+                        num += wts[i, j] * grid[rr, cc2]
+                        tw += wts[i, j]
+            assert got[(br, bc)] == pytest.approx(round(num / tw, 6), abs=1e-6)
