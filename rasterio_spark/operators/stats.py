@@ -95,9 +95,11 @@ def zonal_stats(
         all_touched=all_touched,
         per_shape=True,
     ).select("shape_id", "row", "col")
+    # the cover is bounded by the driver-side shape list (same contract
+    # as rasterize) — broadcast it so the cell table never shuffles
     return (
         cells.where(F.col("valid"))
-        .join(cover, ["row", "col"])
+        .join(F.broadcast(cover), ["row", "col"])
         .groupBy("shape_id", "band")
         .agg(
             F.count(F.lit(1)).alias("n_cells"),

@@ -213,6 +213,94 @@ def sessionize_stream(
     )
 
 
+def dedup_exact_stream(
+    pages_stream: DataFrame,
+    watermark: str = "24 hours",
+    ttl_hours: int = 48,
+    hash_col: str = "text",
+) -> DataFrame:
+    """Streaming exact dedup with a deterministic keeper rule — the
+    stateful-streaming complement of operators/dedup.dedup_exact.
+
+    Emits one verdict row per input page: ``keep`` is true iff the page
+    is its text hash's keeper. The keeper is the min-(warc_ts, url) row
+    of the FIRST micro-batch that sees the hash (within-batch order is
+    sorted, so verdicts are deterministic regardless of arrival
+    interleaving; across batches append mode cannot retract an emitted
+    verdict, so a later-arriving earlier timestamp does not usurp —
+    feed in event-time order, or compare only hashes fully contained
+    in one batch, to match the batch chain exactly). Spark's built-in
+    ``dropDuplicatesWithinWatermark`` keeps an ARBITRARY first row —
+    this operator pins the batch dedup chain's min-(ts, id) rule.
+
+    State is bounded for 100-TB streams: an event-time timeout drops a
+    hash's state once the watermark passes last_seen + ``ttl_hours`` —
+    after that a recurrence is treated as new (the standard
+    watermarked-dedup tradeoff; size state TTL to the crawl's dup
+    horizon)."""
+    from pyspark.sql.streaming.state import GroupState, GroupStateTimeout
+
+    import pandas as pd
+
+    ttl = ttl_hours * 3600
+    df = (
+        pages_stream.select(
+            F.sha2(F.col(hash_col).cast("binary"), 256).alias("text_hash"),
+            "url",
+            "warc_ts",
+        )
+        .withWatermark("warc_ts", watermark)
+    )
+
+    def fn(key, pdfs, state: GroupState):
+        text_hash = key[0]
+        if state.hasTimedOut:
+            state.remove()
+            empty = pd.DataFrame([], columns=["text_hash", "url", "warc_ts", "keep"])
+            yield pd.DataFrame(
+                {
+                    "text_hash": empty["text_hash"].astype("str"),
+                    "url": empty["url"].astype("str"),
+                    "warc_ts": pd.to_datetime(empty["warc_ts"]),
+                    "keep": empty["keep"].astype("bool"),
+                }
+            )
+            return
+        batch = pd.concat(list(pdfs), ignore_index=True)
+        batch["_t"] = batch["warc_ts"].astype("int64") // 1_000_000_000
+        batch = batch.sort_values(["_t", "url"], ignore_index=True)
+        if state.exists:
+            best_t, best_url = state.get
+        else:
+            best_t, best_url = None, None
+        keeps = []
+        for t, u in zip(batch["_t"], batch["url"]):
+            if best_t is None:
+                best_t, best_url = int(t), u
+                keeps.append(True)
+            else:
+                keeps.append(False)
+        state.update((int(best_t), best_url))
+        last = int(batch["_t"].max())
+        state.setTimeoutTimestamp((last + ttl) * 1000)
+        yield pd.DataFrame(
+            {
+                "text_hash": text_hash,
+                "url": batch["url"],
+                "warc_ts": batch["warc_ts"],
+                "keep": keeps,
+            }
+        )
+
+    return df.groupBy("text_hash").applyInPandasWithState(
+        fn,
+        outputStructType="text_hash string, url string, warc_ts timestamp, keep boolean",
+        stateStructType="t long, u string",
+        outputMode="append",
+        timeoutConf=GroupStateTimeout.EventTimeTimeout,
+    )
+
+
 def streaming_pip_join_foreach_batch(
     pages_stream: DataFrame,
     polygons: list[dict],
