@@ -202,6 +202,28 @@ def kmeans_fit(
     return assign, cent
 
 
+def ivf_build(
+    embeddings: DataFrame,
+    k: int = 16,
+    iters: int = 5,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """Train-and-assign IVF index from scratch: kmeans_fit clusters the
+    vectors, and the returned table carries the learned ``label``
+    column ivf_topk probes. At 100 TB, write this table partitioned by
+    ``label`` so a probe is a partition-pruned scan:
+
+        ivf_build(emb, k=4096).write.partitionBy("label").parquet(...)
+    """
+    assign, _ = kmeans_fit(embeddings, k=k, iters=iters, id_col=id_col, vec_col=vec_col)
+    base = embeddings.drop("label")  # replace any pre-existing coarse labels
+    return base.join(
+        assign.select(F.col("vec_id").alias(id_col), F.col("cluster").alias("label")),
+        id_col,
+    )
+
+
 def kmeans_assign_sql(k: int, iters: int, table: str = "embeddings") -> str:
     """DuckDB twin of kmeans_fit's assignment output.
 

@@ -394,11 +394,19 @@ RESAMPLING_AGGS = (
 )
 
 
-def downsample(cells: DataFrame, factor: int, method: str = "average") -> DataFrame:
+def downsample(
+    cells: DataFrame, factor: int, method: str = "average", exact: bool = True
+) -> DataFrame:
     """Overview level: aggregate each factor x factor block of valid
-    child cells into a parent cell (build_overviews semantics;
-    resampling set from reference enums.py:75-126; gauss/lanczos/
-    cubic_spline documented out of scope)."""
+    child cells into a parent cell (build_overviews semantics; full
+    resampling set from reference enums.py:75-126 — gauss via the
+    3x3 overview kernel).
+
+    ``exact=False`` switches the quantile methods (med/q1/q3) to
+    ``approx_percentile`` (t-digest style sketch, accuracy 1e-4): the
+    exact ``percentile`` buffers every value per group, which a 100-TB
+    overview build with huge factor^2 blocks cannot afford; the sketch
+    is constant-memory per group. Oracle queries use exact=True."""
     if method == "gauss":
         return _gauss_downsample(cells, factor)
     if method not in RESAMPLING_AGGS:
@@ -423,7 +431,8 @@ def downsample(cells: DataFrame, factor: int, method: str = "average") -> DataFr
         agg = F.round(F.sqrt(F.avg(F.col("value") * F.col("value"))), 6)
     elif method in ("med", "q1", "q3"):
         q = {"med": 0.5, "q1": 0.25, "q3": 0.75}[method]
-        agg = F.round(F.expr(f"percentile(value, {q})"), 6)
+        fn = "percentile" if exact else "approx_percentile"
+        agg = F.round(F.expr(f"{fn}(value, {q})"), 6)
     elif method == "mode":
         # deterministic mode: highest count, ties -> smallest value
         counts = src.groupBy(

@@ -379,3 +379,65 @@ def test_gauss_downsample_hand_checked(spark):
                         num += wts[i, j] * grid[rr, cc2]
                         tw += wts[i, j]
             assert got[(br, bc)] == pytest.approx(round(num / tw, 6), abs=1e-6)
+
+
+def test_ivf_build_end_to_end_recall(spark):
+    """Train-from-scratch IVF: ivf_build labels + full-probe ivf_topk
+    == brute-force cosine_topk."""
+    import numpy as np
+
+    from rasterio_spark.operators.similarity import (
+        cosine_topk,
+        ivf_build,
+        ivf_topk,
+    )
+
+    rng = np.random.default_rng(11)
+    vecs = rng.normal(size=(80, 12)).astype("float32")
+    rows = [(int(i), [float(x) for x in vecs[i]]) for i in range(80)]
+    emb = spark.createDataFrame(rows, "vec_id long, embedding array<float>")
+    indexed = ivf_build(emb, k=4, iters=2)
+    assert "label" in indexed.columns
+    assert indexed.count() == 80
+    qids = [0, 17, 63]
+    brute = {
+        (r["query_id"], r["rank"]): r["vec_id"]
+        for r in cosine_topk(emb, qids, k=5).collect()
+    }
+    full_probe = {
+        (r["query_id"], r["rank"]): r["vec_id"]
+        for r in ivf_topk(indexed, qids, k=5, nprobe=4).collect()
+    }
+    assert full_probe == brute
+
+
+def test_downsample_approx_quantile(spark):
+    """exact=False med/q1/q3: the sketch returns a nearest-rank member
+    of the block (no interpolation), so it must be an actual block
+    value bracketing the exact interpolated quantile."""
+    from collections import defaultdict
+
+    from rasterio_spark.operators.warp import downsample
+
+    cells = _cells(spark)
+    blocks = defaultdict(list)
+    for r in cells.where("valid").collect():
+        blocks[(r["band"], r["row"] // 4, r["col"] // 4)].append(r["value"])
+    for m in ("med", "q1", "q3"):
+        exact = {
+            (r["band"], r["row"], r["col"]): r["value"]
+            for r in downsample(cells, 4, m).collect()
+        }
+        approx = {
+            (r["band"], r["row"], r["col"]): r["value"]
+            for r in downsample(cells, 4, m, exact=False).collect()
+        }
+        assert set(exact) == set(approx)
+        for k in exact:
+            vals = sorted(blocks[k])
+            # a real member of the block...
+            assert approx[k] in [round(v, 6) for v in vals], (m, k)
+            # ...adjacent to the exact quantile in the sorted order
+            lo = max((v for v in vals if v <= exact[k]), default=vals[0])
+            hi = min((v for v in vals if v >= exact[k]), default=vals[-1])
+            assert round(lo, 6) <= approx[k] <= round(hi, 6), (m, k)
