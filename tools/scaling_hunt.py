@@ -285,7 +285,13 @@ def report() -> None:
         mrecs = [json.loads(l) for l in open(MP_LOG)]
         mrecs = [r for r in mrecs if mrecs and r["n"] == mrecs[-1]["n"]]
         if mrecs:
-            summary["multiproc_best"] = max(mrecs, key=lambda r: r["eff"])
+            mcalm = [
+                r
+                for r in mrecs
+                if max(r["probe_before"], r["probe_mid"], r["probe_after"]) <= 0.05
+            ]
+            summary["multiproc_best"] = max(mcalm or mrecs, key=lambda r: r["eff"])
+            summary["multiproc_calm_cycles"] = len(mcalm)
             summary["multiproc_cycles"] = len(mrecs)
     print(json.dumps(summary, indent=2))
 
