@@ -176,8 +176,16 @@ def minhash_signatures(
     hash_method: str = "sha2",
 ) -> DataFrame:
     """(doc_id, s0..s15) — MinHash signature with 16 universal-hash
-    permutations over 60-bit shingle hashes mod p."""
-    sh = shingle_docs(docs, n, text_col, id_col)
+    permutations over 60-bit shingle hashes mod p.
+
+    Uses the RAW exploded shingles (no distinct): min() is
+    duplicate-insensitive, so skipping the dedup drops a full shuffle
+    from the signature stage — the partial min-agg combines map-side.
+    """
+    sh = docs.select(
+        F.col(id_col).alias("doc_id"),
+        F.explode(F.expr(_shingles_expr(text_col, n))).alias("shingle"),
+    )
     hp = (F.expr(_shingle_hash_expr(hash_method)).cast("long") % MINHASH_P).alias("hp")
     sh = sh.select("doc_id", hp)
     aggs = [
@@ -188,17 +196,24 @@ def minhash_signatures(
 
 
 def lsh_buckets(sig: DataFrame) -> DataFrame:
-    """(doc_id, bucket) — one bucket key per LSH band."""
+    """(doc_id, bucket) — one bucket key per LSH band.
+
+    Single-branch plan: the band keys explode from one array instead of
+    a bands-way union (which carried the signature aggregation once per
+    band unless exchange reuse saved it)."""
     rows_per_band = len(MINHASH_COEFFS) // LSH_BANDS
-    band_frames = []
-    for band in range(LSH_BANDS):
-        cols = [f"s{band * rows_per_band + r}" for r in range(rows_per_band)]
-        key = F.concat_ws("_", F.lit(str(band)), *[F.col(c).cast("string") for c in cols])
-        band_frames.append(sig.select("doc_id", key.alias("bucket")))
-    buckets = band_frames[0]
-    for bf in band_frames[1:]:
-        buckets = buckets.unionByName(bf)
-    return buckets
+    keys = [
+        F.concat_ws(
+            "_",
+            F.lit(str(band)),
+            *[
+                F.col(f"s{band * rows_per_band + r}").cast("string")
+                for r in range(rows_per_band)
+            ],
+        )
+        for band in range(LSH_BANDS)
+    ]
+    return sig.select("doc_id", F.explode(F.array(*keys)).alias("bucket"))
 
 
 def minhash_lsh_pairs(
