@@ -31,12 +31,6 @@ from pyspark.sql import functions as F
 LINEAGE_DIR = "_lineage"
 
 
-def _digest_col(df: DataFrame, partition_col: str):
-    cols = [c for c in df.columns]
-    canon = F.to_json(F.struct(*[F.col(c) for c in sorted(cols)]))
-    return F.expr(f"bit_xor(xxhash64({', '.join([])!s}_c))") if False else F.xxhash64(canon)
-
-
 def partition_lineage(df: DataFrame, stage: str, partition_col: str) -> DataFrame:
     """Lineage rows for a stage output: one per partition value."""
     canon = F.to_json(F.struct(*[F.col(c) for c in sorted(df.columns)]))

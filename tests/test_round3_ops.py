@@ -441,3 +441,46 @@ def test_downsample_approx_quantile(spark):
             lo = max((v for v in vals if v <= exact[k]), default=vals[0])
             hi = min((v for v in vals if v >= exact[k]), default=vals[-1])
             assert round(lo, 6) <= approx[k] <= round(hi, 6), (m, k)
+
+
+def test_spark_submit_pyfiles_package(tmp_path):
+    """north_rule packaging clause: the zip built by
+    tools/package_pyfiles.py runs under a real `spark-submit
+    --py-files` with no repo on sys.path."""
+    import os
+    import shutil
+    import subprocess
+    import sys
+
+    if shutil.which("spark-submit") is None:
+        pytest.skip("spark-submit not on PATH")
+    repo = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+    sys.path.insert(0, os.path.join(repo, "tools"))
+    import package_pyfiles
+
+    zip_path = package_pyfiles.build(str(tmp_path / "rasterio_spark.zip"))
+    job = tmp_path / "job.py"
+    job.write_text(
+        "from pyspark.sql import SparkSession\n"
+        "spark = (SparkSession.builder.appName('pyfiles_test')\n"
+        "         .config('spark.sql.shuffle.partitions', '4')\n"
+        "         .config('spark.ui.enabled', 'false').getOrCreate())\n"
+        "from rasterio_spark.operators.tile import tile_counts\n"
+        "from rasterio_spark.sources.pages import synth_pages\n"
+        "n = tile_counts(synth_pages(spark, 2000)).count()\n"
+        "print('SUBMIT_OK', n)\n"
+        "spark.stop()\n"
+    )
+    env = {k: v for k, v in os.environ.items() if k != "PYTHONPATH"}
+    out = subprocess.run(
+        [
+            "spark-submit", "--master", "local[4]",
+            "--py-files", zip_path, str(job),
+        ],
+        capture_output=True,
+        text=True,
+        timeout=300,
+        cwd=str(tmp_path),
+        env=env,
+    )
+    assert "SUBMIT_OK" in out.stdout, out.stderr[-2000:]
