@@ -198,7 +198,14 @@ def run_suite(spark, sf_dir: str, n: int) -> dict[str, float]:
         timed("downsample_average", lambda: downsample(cells, 8, "average").count())
         # production dedup config: xxh64 shingle hashes (one JVM hash
         # call instead of a MessageDigest allocation — the sha2 variant
-        # exists only for DuckDB-oracle parity) + bucket cap
+        # exists only for DuckDB-oracle parity) + bucket cap.
+        # One tiny untimed pass first: the dedup plans JIT ~3s of
+        # generated code on first use, which is setup, not the operator.
+        minhash_lsh_pairs(
+            spark.read.parquet(f"{sf_dir}/documents.parquet").limit(200),
+            max_bucket=50,
+            hash_method="xxh64",
+        ).count()
         timed(
             "minhash_lsh",
             lambda: minhash_lsh_pairs(
