@@ -16,6 +16,94 @@ from __future__ import annotations
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
+# snuggs -> SQL operator table (reference rasterio/_vendor/snuggs.py
+# op_map + numpy funcs used by rio calc tests). n-ary arithmetic and
+# logicals fold left; comparisons are binary.
+_SNUGGS_INFIX = {
+    "+": "+", "-": "-", "*": "*", "/": "/", "%": "%",
+    "&": "AND", "&&": "AND", "and": "AND",
+    "|": "OR", "||": "OR", "or": "OR",
+    ">": ">", "<": "<", ">=": ">=", "<=": "<=", "==": "=", "!=": "!=",
+}
+_SNUGGS_FUNCS = {
+    "min": "least", "fmin": "least",
+    "max": "greatest", "fmax": "greatest",
+    "abs": "abs", "sqrt": "sqrt", "exp": "exp",
+    "log": "ln", "log10": "log10",
+    "sin": "sin", "cos": "cos", "tan": "tan",
+    "asin": "asin", "acos": "acos", "atan": "atan",
+    "floor": "floor", "ceil": "ceil",
+}
+
+
+def _snuggs_tokens(src: str) -> list[str]:
+    out, i, n = [], 0, len(src)
+    while i < n:
+        c = src[i]
+        if c.isspace():
+            i += 1
+        elif c in "()":
+            out.append(c)
+            i += 1
+        else:
+            j = i
+            while j < n and not src[j].isspace() and src[j] not in "()":
+                j += 1
+            out.append(src[i:j])
+            i = j
+    return out
+
+
+def _snuggs_parse(tokens: list[str], pos: int = 0):
+    if tokens[pos] != "(":
+        return tokens[pos], pos + 1
+    pos += 1
+    node = []
+    while tokens[pos] != ")":
+        child, pos = _snuggs_parse(tokens, pos)
+        node.append(child)
+    return node, pos + 1
+
+
+def _snuggs_emit(node) -> str:
+    if isinstance(node, str):
+        return node  # number, band name (bN), or bare symbol
+    head, args = node[0], node[1:]
+    if head in ("read", "take"):
+        # (read 1) / (read 1 j) / (take name j): input index maps to the
+        # single cell table; the band index (default 1) becomes column bj
+        band = args[1] if len(args) > 1 else "1"
+        return f"b{band}"
+    if head == "!" or head == "not":
+        return f"(NOT {_snuggs_emit(args[0])})"
+    if head == "where":
+        c, a, b = (_snuggs_emit(a) for a in args)
+        return f"(CASE WHEN {c} THEN {a} ELSE {b} END)"
+    if head in _SNUGGS_INFIX:
+        if head == "-" and len(args) == 1:
+            return f"(- {_snuggs_emit(args[0])})"
+        op = _SNUGGS_INFIX[head]
+        return "(" + f" {op} ".join(_snuggs_emit(a) for a in args) + ")"
+    if head in _SNUGGS_FUNCS:
+        return f"{_SNUGGS_FUNCS[head]}({', '.join(_snuggs_emit(a) for a in args)})"
+    raise ValueError(f"unsupported snuggs operator {head!r}")
+
+
+def snuggs_to_sql(expression: str) -> str:
+    """Translate a rio-calc snuggs s-expression to a SQL scalar
+    expression over band columns b1..bN.
+
+        (+ 125 (* 0.1 (read 1 1)))  ->  (125 + (0.1 * b1))
+        (>= (read 1 1) 127)         ->  (b1 >= 127)
+
+    Catalyst then folds/compiles it — the engine needs no interpreter
+    (reference evaluates via rasterio/_vendor/snuggs.py)."""
+    tokens = _snuggs_tokens(expression)
+    node, pos = _snuggs_parse(tokens)
+    if pos != len(tokens):
+        raise ValueError("trailing tokens in snuggs expression")
+    return _snuggs_emit(node)
+
 
 def to_wide(cells: DataFrame, bands: list[int]) -> DataFrame:
     """(band,row,col,value,valid) -> (row, col, b1..bN[, v1..vN])."""
@@ -45,7 +133,12 @@ def calc(
     ``require_valid``: cells where any referenced band is invalid become
     nodata/invalid (mirrors masked-array propagation in rio calc).
     Returns (band, row, col, value, valid).
+
+    ``expression`` is SQL infix, or a rio-calc snuggs s-expression when
+    it starts with "(" — translated by :func:`snuggs_to_sql`.
     """
+    if expression.lstrip().startswith("("):
+        expression = snuggs_to_sql(expression)
     if bands is None:
         bands = [r["band"] for r in cells.select("band").distinct().orderBy("band").collect()]
     wide = to_wide(cells, bands)

@@ -139,3 +139,44 @@ def test_cli_smoke(spark, sf_dir, tmp_path, capsys):
     )
     out = capsys.readouterr().out
     assert "rank=" in out or "Row(" in out
+
+
+def test_snuggs_to_sql_translation():
+    """Reference rio-calc expressions (tests/test_rio_calc.py) translate
+    to SQL that Catalyst accepts."""
+    from rasterio_spark.operators.calc import snuggs_to_sql
+
+    assert snuggs_to_sql("(+ 125 (* 0.1 (read 1 1)))") == "(125 + (0.1 * b1))"
+    assert snuggs_to_sql("(>= (read 1 1) 127)") == "(b1 >= 127)"
+    assert snuggs_to_sql("(+ (* 0.95 (read 1)) 10)") == "((0.95 * b1) + 10)"
+    assert snuggs_to_sql("(take shade 2)") == "b2"
+    assert snuggs_to_sql("(min (read 1 1) (read 1 2))") == "least(b1, b2)"
+    assert (
+        snuggs_to_sql("(where (> b1 0) b1 b2)")
+        == "(CASE WHEN (b1 > 0) THEN b1 ELSE b2 END)"
+    )
+    assert snuggs_to_sql("(- (read 1 1))") == "(- b1)"
+    with pytest.raises(ValueError):
+        snuggs_to_sql("(frobnicate 1)")
+
+
+def test_calc_accepts_snuggs(spark):
+    """calc() evaluates the reference's multiband snuggs form
+    (test_rio_calc.py:test_multiband_calc expression)."""
+    from pyspark.sql import functions as F
+
+    from rasterio_spark.operators.calc import calc
+
+    cells = spark.range(0, 32).select(
+        F.lit(1).cast("int").alias("band"),
+        F.expr("CAST(id DIV 8 AS INT)").alias("row"),
+        (F.col("id") % 8).cast("int").alias("col"),
+        (F.col("id") * 10.0).alias("value"),
+        F.lit(True).alias("valid"),
+    )
+    out = {
+        (r["row"], r["col"]): r["value"]
+        for r in calc(cells, "(+ 125 (* 0.1 (read 1 1)))", bands=[1]).collect()
+    }
+    for (row, col), v in out.items():
+        assert v == 125 + 0.1 * (row * 8 + col) * 10.0
