@@ -39,8 +39,11 @@ SPARK_TYPES: dict[str, str] = {
 
 
 def validate_dtype(values, valid: list[str]) -> bool:
+    """True if the values' dtype OR their minimum dtype is in ``valid``
+    (parity: dtypes.py:216-234 — the fallback lets plain Python int
+    lists validate against narrow raster dtypes)."""
     dt = np.asarray(values).dtype.name
-    return dt in valid
+    return dt in valid or get_minimum_dtype(values) in valid
 
 
 def in_dtype_range(value: float, dtype: str) -> bool:
@@ -75,14 +78,17 @@ def get_minimum_dtype(values) -> str:
 
 
 def can_cast_dtype(values, dtype: str) -> bool:
-    """Lossless-cast check via round-trip compare
-    (parity: dtypes.py:191-213)."""
+    """Lossless-cast check (parity: dtypes.py:191-213): float sources
+    compare with allclose (equal_nan) against the cast values — the
+    reference's tolerance-based rule, so float64 [1.4, ...] CAN cast to
+    float32 — while integer sources require exact round-trip equality."""
     arr = np.asarray(values)
     if arr.dtype.name == dtype:
         return True
-    if np.issubdtype(arr.dtype, np.floating) and not np.all(np.isfinite(arr)):
-        return dtype.startswith("float")
-    return np.array_equal(arr.astype(dtype).astype(arr.dtype), arr)
+    if arr.dtype.kind == "f":
+        with np.errstate(over="ignore", invalid="ignore"):
+            return bool(np.allclose(arr, arr.astype(dtype), equal_nan=True))
+    return np.array_equal(arr, arr.astype(dtype))
 
 
 def spark_type_for(dtype: str) -> str:

@@ -378,6 +378,30 @@ def get_data_window(arr: np.ndarray, nodata=None) -> Window:
     return Window.from_slices(*spans)
 
 
+def disjoint_bounds(bounds1, bounds2) -> bool:
+    """True iff two (left, bottom, right, top) bounds do not overlap —
+    the merge/stack source-pruning predicate (reference
+    rasterio/coords.py:20-57 incl. the south-up branch and the
+    mixed-orientation error; regression cases gh-1459 ported)."""
+    north1 = bounds1[3] > bounds1[1]
+    north2 = bounds2[3] > bounds2[1]
+    if north1 != north2:
+        raise ValueError("Bounds must both have the same orientation")
+    if north1:
+        return (
+            bounds1[0] > bounds2[2]
+            or bounds2[0] > bounds1[2]
+            or bounds1[1] > bounds2[3]
+            or bounds2[1] > bounds1[3]
+        )
+    return (
+        bounds1[0] > bounds2[2]
+        or bounds2[0] > bounds1[2]
+        or bounds1[3] > bounds2[1]
+        or bounds2[3] > bounds1[1]
+    )
+
+
 def window_predicate_sql(window: Window, row_col: str = "row", col_col: str = "col") -> str:
     """Compile a Window to a SQL predicate over integer cell coordinates.
 

@@ -11,6 +11,7 @@ from rasterio_spark.grid.dtypes import (
     get_minimum_dtype,
     in_dtype_range,
     spark_type_for,
+    validate_dtype,
 )
 from rasterio_spark.operators.calc import calc
 from rasterio_spark.operators.merge import stack
@@ -180,3 +181,42 @@ def test_calc_accepts_snuggs(spark):
     }
     for (row, col), v in out.items():
         assert v == 125 + 0.1 * (row * 8 + col) * 10.0
+
+
+def test_get_minimum_dtype_ported_full():
+    """Full reference assert set (tests/test_dtypes.py:68-107; float16
+    is documented out so mixed-float lists resolve to float32)."""
+    import numpy as np
+
+    assert get_minimum_dtype([0, 1]) == "uint8"
+    assert get_minimum_dtype([0, 1000]) == "uint16"
+    assert get_minimum_dtype([0, 100000]) == "uint32"
+    assert get_minimum_dtype([-1, 0, 1]) == "int8"
+    assert get_minimum_dtype([-1, 0, 128]) == "int16"
+    assert get_minimum_dtype([-1, 0, 100000]) == "int32"
+    assert get_minimum_dtype([-1.5e5, 0, 1.5e5]) == "float32"
+    assert get_minimum_dtype([-1.5e100, 0, 1.5e100]) == "float64"
+    assert get_minimum_dtype(np.array([0, 1], dtype=np.uint)) == "uint8"
+    assert get_minimum_dtype(np.array([0, 1000], dtype=np.uint)) == "uint16"
+    assert get_minimum_dtype(np.array([-1, 0, 1], dtype=int)) == "int8"
+    assert get_minimum_dtype(np.array([-1, 0, 128], dtype=int)) == "int16"
+    assert get_minimum_dtype([-1, 0, 2147483648]) == "int64"
+    assert get_minimum_dtype([0, 4294967296]) == "uint64"
+    assert get_minimum_dtype([-9.1, 0, 9.1]) == "float32"
+
+
+def test_can_cast_dtype_ported_full():
+    """Reference tests/test_dtypes.py:110-137 incl. NaN rules."""
+    import numpy as np
+
+    assert can_cast_dtype((1, 2, 3), "uint8")
+    assert can_cast_dtype(np.array([1, 2, 3]), "uint8")
+    assert can_cast_dtype(np.array([1, 2, 3], dtype=np.uint8), "uint8")
+    assert can_cast_dtype(np.array([1, 2, 3]), "float32")
+    assert can_cast_dtype(np.array([1.4, 2.1, 3.65]), "float32")
+    assert not can_cast_dtype(np.array([1.4, 2.1, 3.65]), "uint8")
+    for dt in ("float64", "float32"):
+        assert can_cast_dtype([np.nan], dt)
+    for dt in ("uint8", "uint16", "uint32", "int32"):
+        assert not can_cast_dtype([np.nan], dt)
+    assert validate_dtype([1, 2, 3], ("uint8", "uint16"))

@@ -354,3 +354,25 @@ def test_window_predicate_sql():
     sql = window_predicate_sql(Window(1.2, -0.5, 3.9, 4.0))
     # toslices discretization: rows [0, ceil(3.5))=[0,4), cols [1, ceil(5.1))=[1,6)
     assert sql == "(row >= 0 AND row < 4 AND col >= 1 AND col < 6)"
+
+
+def test_disjoint_bounds_ported():
+    """Ported reference tests/test_coords.py gh-1459 cases + the
+    orientation guard."""
+    import pytest as _pytest
+
+    from rasterio_spark.grid.windows import disjoint_bounds
+
+    a = (478038, 57155, 703888, 266344)
+    b = (584184, 469629, 740727, 626172)
+    assert disjoint_bounds(a, b)
+    # south-up (top < bottom)
+    a = (0.0, 1.0, 1.0, 0.0)
+    b = (0.0, 2.0, 1.0, 1.01)
+    assert disjoint_bounds(a, b)
+    # overlapping north-up
+    assert not disjoint_bounds((0, 0, 2, 2), (1, 1, 3, 3))
+    # touching edges are NOT disjoint (reference uses strict >)
+    assert not disjoint_bounds((0, 0, 1, 1), (1, 0, 2, 1))
+    with _pytest.raises(ValueError):
+        disjoint_bounds((0, 0, 1, 1), (0.0, 2.0, 1.0, 1.0))
