@@ -139,6 +139,7 @@ def pad(
     pad_width: int,
     fill_value: float = 0.0,
     bands: list[int] | None = None,
+    mode: str = "constant",
 ):
     """rasterio.pad (reference __init__.py:458-488): grow the layer by
     ``pad_width`` cells on every side. Returns (padded_descriptor,
@@ -149,6 +150,11 @@ def pad(
     ``bands`` defaults to all of the descriptor's bands (1..count) so a
     multiband layer pads every band; reference pad() operates on the
     full array stack, not band 1.
+
+    ``mode``: 'constant' fills the border with ``fill_value``
+    (numpy.pad constant); 'edge' replicates the nearest edge cell (the
+    mode the reference's own test uses, tests/test_pad.py:7-13) — a
+    clamp on the source coordinates turns it into the same equi-join.
     """
     import dataclasses
 
@@ -159,7 +165,28 @@ def pad(
     w = Window(
         -pad_width, -pad_width, descriptor.width + 2 * pad_width, descriptor.height + 2 * pad_width
     )
-    out = read_boundless(cells, w, fill_value=fill_value, bands=bands)
+    if mode == "edge":
+        dom = window_domain(cells.sparkSession, w, bands=bands)
+        h, wd = descriptor.height, descriptor.width
+        dom = dom.withColumn(
+            "_sr", F.greatest(F.lit(0), F.least(F.lit(h - 1), F.col("row"))).cast("int")
+        ).withColumn(
+            "_sc", F.greatest(F.lit(0), F.least(F.lit(wd - 1), F.col("col"))).cast("int")
+        )
+        src = cells.select(
+            "band", F.col("row").alias("_sr"), F.col("col").alias("_sc"), "value", "valid"
+        )
+        out = dom.join(src, ["band", "_sr", "_sc"], "left").select(
+            "band",
+            "row",
+            "col",
+            F.coalesce(F.when(F.col("valid"), F.col("value")), F.lit(fill_value)).alias("value"),
+            F.coalesce("valid", F.lit(False)).alias("valid"),
+        )
+    elif mode == "constant":
+        out = read_boundless(cells, w, fill_value=fill_value, bands=bands)
+    else:
+        raise ValueError(f"unsupported pad mode {mode!r} (constant | edge)")
     out = out.select(
         "band",
         (F.col("row") + pad_width).cast("long").alias("row"),

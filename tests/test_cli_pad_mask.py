@@ -140,3 +140,40 @@ def test_dataset_mask_precedence(spark):
         for r in dataset_mask(cells, alpha_band=2, dataset_valid=ds).toPandas().itertuples()
     }
     assert not m[(0, 0)] and m[(0, 1)]
+
+
+def test_pad_edge_mode(spark):
+    """Ported reference tests/test_pad.py: mode='edge' replicates edge
+    cells; shape and transform shift rules identical."""
+    from pyspark.sql import functions as F
+
+    from rasterio_spark.grid.affine import Affine
+    from rasterio_spark.operators.window_read import pad
+    from rasterio_spark.sources.layers import LayerDescriptor
+
+    size = 10
+    cells = spark.range(0, size * size).select(
+        F.lit(1).cast("int").alias("band"),
+        F.expr(f"CAST(id DIV {size} AS INT)").alias("row"),
+        (F.col("id") % size).cast("int").alias("col"),
+        (F.col("id") + 1.0).alias("value"),
+        F.lit(True).alias("valid"),
+    )
+    desc = LayerDescriptor(
+        width=size, height=size, count=1,
+        transform=Affine(1.0, 0.0, 0.0, 0.0, -1.0, 10.0),
+    )
+    new_desc, out = pad(cells, desc, 2, mode="edge")
+    assert (new_desc.width, new_desc.height) == (14, 14)
+    assert new_desc.transform.c == -2.0
+    assert new_desc.transform.f == 12.0
+    vals = {(r["row"], r["col"]): (r["value"], r["valid"]) for r in out.collect()}
+    assert len(vals) == 14 * 14
+    # corners replicate the corner cells; all cells valid (edge mode)
+    assert vals[(0, 0)] == (1.0, True)        # top-left = src (0,0)
+    assert vals[(13, 13)] == (100.0, True)    # bottom-right = src (9,9)
+    assert vals[(0, 5)] == (4.0, True)        # top edge = src (0, 3)
+    assert vals[(7, 0)] == (51.0, True)       # left edge = src (5, 0)
+    # interior untouched
+    assert vals[(2, 2)] == (1.0, True)
+    assert all(v[1] for v in vals.values())

@@ -376,3 +376,56 @@ def test_disjoint_bounds_ported():
     assert not disjoint_bounds((0, 0, 1, 1), (1, 0, 2, 1))
     with _pytest.raises(ValueError):
         disjoint_bounds((0, 0, 1, 1), (0.0, 2.0, 1.0, 1.0))
+
+
+def test_indexing_ported_rgb():
+    """Ported reference tests/test_indexing.py (RGB.byte transform):
+    index/window/window_bounds round-trips over the dataset grid."""
+    from rasterio_spark.grid.transform import rowcol, xy
+    from rasterio_spark.grid.windows import Window, bounds as win_bounds, from_bounds
+
+    from tests.conftest import RGB_HEIGHT, RGB_TRANSFORM, RGB_WIDTH
+
+    t = RGB_TRANSFORM
+    left, top = t.c, t.f
+    right = t.c + t.a * RGB_WIDTH
+    bottom = t.f + t.e * RGB_HEIGHT
+
+    def index(x, y):
+        r, c = rowcol(t, x, y)
+        return int(r), int(c)
+
+    # test_index corner rule
+    assert index(left, top) == (0, 0)
+    assert index(right, top) == (0, RGB_WIDTH)
+    assert index(right, bottom) == (RGB_HEIGHT, RGB_WIDTH)
+    assert index(left, bottom) == (RGB_HEIGHT, 0)
+    # test_index_values
+    assert index(101985.0, 2826915.0) == (0, 0)
+    assert index(101985.0 + 400.0, 2826915.0) == (0, 1)
+    assert index(101985.0 + 400.0, 2826915.0 - 700.0) == (2, 1)
+
+    def approx_win(a, b, precision=3):
+        for attr in ("row_off", "col_off", "width", "height"):
+            assert round(getattr(a, attr), precision) == round(
+                getattr(b, attr), precision
+            ), attr
+
+    # test_full_window
+    approx_win(
+        from_bounds(left, bottom, right, top, t),
+        Window(0, 0, RGB_WIDTH, RGB_HEIGHT),
+    )
+    # test_window_no_exception (bounds beyond the extent -> negative offs)
+    approx_win(
+        from_bounds(left - 1000.0, bottom, right, top, t),
+        Window(-1000 / t.a, 0, RGB_WIDTH + 1000 / t.a, RGB_HEIGHT),
+    )
+    # test_window partial
+    approx_win(
+        from_bounds(left, top - 400, left + 400, top, t),
+        Window(0, 0, 400 / t.a, 400 / -t.e),
+    )
+    # test_window_bounds_roundtrip
+    w = Window(100, 100, 100, 100)
+    approx_win(w, from_bounds(*win_bounds(w, t), t))
