@@ -429,3 +429,36 @@ def test_indexing_ported_rgb():
     # test_window_bounds_roundtrip
     w = Window(100, 100, 100, 100)
     approx_win(w, from_bounds(*win_bounds(w, t), t))
+
+
+def test_fromslices_edge_cases_ported():
+    """Ported reference tests/test_windows.py:161-290 edge cases:
+    stop<start -> empty windows, implicit None starts/stops, negative
+    indices, invalid input types."""
+    import numpy as np
+    import pytest as _pytest
+
+    from rasterio_spark.grid.windows import Window, WindowError
+
+    def fl(w):
+        return (w.col_off, w.row_off, w.width, w.height)
+
+    assert np.allclose(fl(Window.from_slices(rows=(4, 2), cols=(0, 4))), (0, 4, 4, 0))
+    assert np.allclose(fl(Window.from_slices(rows=(0, 4), cols=(4, 2))), (4, 0, 0, 4))
+    assert np.allclose(fl(Window.from_slices(rows=(None, 4), cols=(2, 4))), (2, 0, 2, 4))
+    assert np.allclose(
+        fl(Window.from_slices(rows=(1, None), cols=(0, 4), height=10)), (0, 1, 4, 9)
+    )
+    assert np.allclose(
+        fl(Window.from_slices(rows=(-4, None), cols=(0, 4), height=10)), (0, 6, 4, 4)
+    )
+    assert np.allclose(
+        fl(Window.from_slices(rows=(-6, -2), cols=(0, 4), height=10)), (0, 4, 4, 4)
+    )
+    for invalid in ("04", (1, 2, 3), np.array([0, 4])):
+        with _pytest.raises(WindowError):
+            Window.from_slices(rows=invalid, cols=(0, 4))
+    with _pytest.raises(WindowError):
+        Window.from_slices(rows=(1, None), cols=(1, 4))
+    with _pytest.raises(WindowError):
+        Window.from_slices(rows=(-4, None), cols=(0, 4))
