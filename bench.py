@@ -135,13 +135,15 @@ def run_suite(spark, sf_dir: str, n: int) -> dict[str, float]:
 
     from pyspark.sql import functions as F
 
+    from rasterio_spark.grid.affine import Affine
     from rasterio_spark.grid.windows import Window
     from rasterio_spark.operators.join import asof_latest, knn_join, pip_join
     from rasterio_spark.operators.merge import merge
     from rasterio_spark.operators.dedup import dedup_groups, minhash_lsh_pairs
     from rasterio_spark.operators.similarity import cosine_topk
+    from rasterio_spark.operators.stats import zonal_stats
     from rasterio_spark.operators.tile import cell_histogram, tile_counts
-    from rasterio_spark.operators.warp import downsample
+    from rasterio_spark.operators.warp import downsample, reproject
     from rasterio_spark.operators.window_read import read_boundless
     from rasterio_spark.sources.polygons import rect_polygons, synth_polygons
 
@@ -196,6 +198,35 @@ def run_suite(spark, sf_dir: str, n: int) -> dict[str, float]:
         timed("window_read_boundless", lambda: read_boundless(cells, Window(-8, -8, 1040, 600)).count())
         timed("merge_first", lambda: merge(layers, "first").count())
         timed("downsample_average", lambda: downsample(cells, 8, "average").count())
+        timed(
+            "zonal_stats",
+            lambda: zonal_stats(
+                cells,
+                [
+                    {
+                        "type": "Polygon",
+                        "coordinates": [[(x0, y0), (x0, y0 + 220), (x0 + 260, y0 + 220),
+                                         (x0 + 260, y0), (x0, y0)]],
+                    }
+                    for x0, y0 in ((40, 30), (300, 120), (620, 400), (100, 700))
+                ],
+                (1024, 1024),
+            ).count(),
+        )
+        timed(
+            "reproject_cubic",
+            lambda: reproject(
+                cells.where(F.col("row") < 256),
+                src_transform=Affine.identity(),
+                src_crs="EPSG:4326",
+                dst_transform=Affine(2.0, 0.0, 0.0, 0.0, 2.0, 0.0),
+                dst_crs="EPSG:4326",
+                dst_width=512,
+                dst_height=128,
+                resampling="cubic",
+                src_nodata=0.0,
+            ).count(),
+        )
         # production dedup config: xxh64 shingle hashes (one JVM hash
         # call instead of a MessageDigest allocation — the sha2 variant
         # exists only for DuckDB-oracle parity) + bucket cap.
