@@ -114,6 +114,66 @@ def checkpointed_write(
     return {"written": written, "skipped": len(done_ids)}
 
 
+def write_window(
+    spark: SparkSession,
+    table_dir: str,
+    new_cells: DataFrame,
+    window,
+    tile_height: int = 256,
+    partition_col: str = "tile_i",
+    bands: list[int] | None = None,
+) -> dict:
+    """Windowed in-place update — the DatasetWriter.write(arr, window)
+    analogue (reference _io.pyx write path) over a layer table
+    partitioned by row-tile.
+
+    Replaces the window's region with ``new_cells`` (which are clipped
+    to the window) at PARTITION granularity: only the row-tiles the
+    window touches are read, patched, and dynamically overwritten —
+    O(window) I/O, the other partitions' files are untouched.
+    ``bands`` restricts the replace to those bands (the ``indexes``
+    argument of the reference write); None replaces the whole stack in
+    the window. On Iceberg this maps to MERGE INTO / RewriteFiles; the
+    parquet form keeps identical semantics with dynamic partition
+    overwrite.
+
+    Returns {"partitions": [affected tile ids]}.
+    """
+    import math
+
+    spark.conf.set("spark.sql.sources.partitionOverwriteMode", "dynamic")
+    rs_start = int(math.floor(window.row_off))
+    rs_stop = int(math.ceil(window.row_off + window.height))
+    cs_start = int(math.floor(window.col_off))
+    cs_stop = int(math.ceil(window.col_off + window.width))
+    t0 = max(0, rs_start) // tile_height
+    t1 = max(0, rs_stop - 1) // tile_height
+    affected = list(range(t0, t1 + 1))
+
+    in_window = (
+        (F.col("row") >= rs_start)
+        & (F.col("row") < rs_stop)
+        & (F.col("col") >= cs_start)
+        & (F.col("col") < cs_stop)
+    )
+    if bands is not None:
+        in_window = in_window & F.col("band").isin(bands)
+
+    existing = spark.read.parquet(table_dir).where(F.col(partition_col).isin(affected))
+    kept = existing.where(~in_window)
+    incoming = (
+        new_cells.where(in_window)
+        .withColumn(partition_col, F.expr(f"row DIV {tile_height}").cast(existing.schema[partition_col].dataType))
+    )
+    out = kept.unionByName(incoming.select(*kept.columns))
+    # the write target is also the read source: materialize the patched
+    # partitions first (localCheckpoint cuts the lineage back to the
+    # files we are about to replace)
+    out = out.localCheckpoint()
+    out.write.mode("overwrite").partitionBy(partition_col).parquet(table_dir)
+    return {"partitions": affected}
+
+
 def verify_lineage(spark: SparkSession, out_dir: str, stage: str, partition_col: str) -> DataFrame:
     """Recompute digests from the written data and diff against the
     lineage table: returns mismatching partitions (empty = consistent)."""

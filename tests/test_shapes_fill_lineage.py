@@ -172,3 +172,69 @@ def test_lineage_kill_resume(spark, tmp_path):
     # double-resume is a no-op
     res2 = checkpointed_write(df, out2, "stage1", "tile")
     assert res2 == {"written": 0, "skipped": 10}
+
+
+def test_write_window_partition_scoped(spark, tmp_path):
+    """DatasetWriter.write(window) analogue: the window region is
+    replaced, everything else byte-stable, and only the touched
+    row-tile partitions are rewritten."""
+    import os
+    import time
+
+    from pyspark.sql import functions as F
+
+    from rasterio_spark.grid.windows import Window
+    from rasterio_spark.plans.lineage import write_window
+
+    tile_h = 4
+    table = str(tmp_path / "layer_table")
+    cells = spark.range(0, 2 * 16 * 16).select(
+        (1 + F.col("id") % 2).cast("int").alias("band"),
+        F.expr("CAST((id DIV 2) DIV 16 AS INT)").alias("row"),
+        F.expr("CAST((id DIV 2) % 16 AS INT)").alias("col"),
+        F.col("id").cast("double").alias("value"),
+        F.lit(True).alias("valid"),
+    ).withColumn("tile_i", F.expr(f"row DIV {tile_h}").cast("int"))
+    cells.write.partitionBy("tile_i").parquet(table)
+
+    untouched_dir = os.path.join(table, "tile_i=3")
+    mtime_before = max(
+        os.path.getmtime(os.path.join(untouched_dir, f))
+        for f in os.listdir(untouched_dir)
+    )
+    time.sleep(1.1)
+
+    # replace rows 2..6 x cols 5..9 of band 1 only
+    w = Window(5, 2, 4, 4)
+    new = spark.range(0, 16).select(
+        F.lit(1).cast("int").alias("band"),
+        (2 + F.col("id") % 4).cast("int").alias("row"),
+        (5 + F.expr("id DIV 4")).cast("int").alias("col"),
+        F.lit(-7.0).alias("value"),
+        F.lit(True).alias("valid"),
+    )
+    res = write_window(spark, table, new, w, tile_height=tile_h, bands=[1])
+    assert res["partitions"] == [0, 1]
+
+    after = spark.read.parquet(table)
+    in_w = "row >= 2 AND row < 6 AND col >= 5 AND col < 9"
+    # band 1 inside the window: all new values
+    got = after.where(f"band = 1 AND {in_w}").select("value").distinct().collect()
+    assert [r["value"] for r in got] == [-7.0]
+    # band 2 inside the window untouched; everything outside untouched
+    assert after.where(f"band = 2 AND {in_w} AND value = -7.0").count() == 0
+    orig = {
+        (r["band"], r["row"], r["col"]): r["value"]
+        for r in cells.where(f"NOT ({in_w} AND band = 1)").collect()
+    }
+    now = {
+        (r["band"], r["row"], r["col"]): r["value"]
+        for r in after.where(f"NOT ({in_w} AND band = 1)").collect()
+    }
+    assert now == orig
+    # the untouched partition's files were not rewritten
+    mtime_after = max(
+        os.path.getmtime(os.path.join(untouched_dir, f))
+        for f in os.listdir(untouched_dir)
+    )
+    assert mtime_after == mtime_before
