@@ -322,3 +322,31 @@ def top_bigram_sql(table: str = "documents", text_col: str = "text") -> str:
                         0.0) AS top_bigram_char_frac
         FROM {table} d LEFT JOIN (SELECT * FROM top WHERE rk = 1) t USING (doc_id)
     """
+
+
+def with_url_features(pages: DataFrame, url_col: str = "url") -> DataFrame:
+    """Domain-level filter signals for crawl curation: host, tld,
+    path_depth, url_len. Pure split arithmetic (identical in the DuckDB
+    twin — parse_url is JVM-only) assuming scheme://host/path URLs."""
+    u = F.col(url_col)
+    parts = F.split(u, "/")
+    host = F.element_at(parts, 3)
+    host_bits = F.split(host, "\\.")
+    return (
+        pages.withColumn("host", host)
+        .withColumn("tld", F.element_at(host_bits, -1))
+        .withColumn("path_depth", F.greatest(F.size(parts) - 3, F.lit(0)))
+        .withColumn("url_len", F.length(u))
+    )
+
+
+def url_features_sql(url_col: str = "url") -> dict[str, str]:
+    """DuckDB twins of with_url_features (same names)."""
+    parts = f"string_split({url_col}, '/')"
+    host = f"{parts}[3]"
+    return {
+        "host": host,
+        "tld": f"string_split({host}, '.')[-1]",
+        "path_depth": f"greatest(len({parts}) - 3, 0)",
+        "url_len": f"length({url_col})",
+    }

@@ -269,3 +269,37 @@ def test_repetition_features_hand_checked(spark):
     # char frac: len('x y')=3, n=3, chars=11 -> 9/11
     assert bg[1]["top_bigram_char_frac"] == pytest.approx(9 / 11, abs=1e-6)
     assert bg[2]["top_bigram"] == "" and bg[2]["top_bigram_n"] == 0
+
+
+def test_url_features_vs_duckdb(spark, sf_dir):
+    import duckdb
+
+    from rasterio_spark.functions.text import url_features_sql, with_url_features
+    from rasterio_spark.sources.pages import pages_from_documents
+
+    pages = pages_from_documents(spark, sf_dir).limit(0).sparkSession.createDataFrame(
+        [
+            ("https://example.com/a/b/c", ),
+            ("http://sub.host.org/page", ),
+            ("https://xn--short.io/", ),
+            ("https://bare.net", ),
+        ],
+        "url string",
+    )
+    eng = (
+        with_url_features(pages)
+        .select("url", "host", "tld", "path_depth", "url_len")
+        .toPandas()
+        .sort_values("url", ignore_index=True)
+    )
+    con = duckdb.connect()
+    con.register("pages", eng[["url"]])
+    uf = url_features_sql()
+    ora = con.execute(
+        f"SELECT url, {uf['host']} AS host, {uf['tld']} AS tld, "
+        f"{uf['path_depth']} AS path_depth, {uf['url_len']} AS url_len FROM pages"
+    ).df().sort_values("url", ignore_index=True)
+    for c in ("host", "tld", "path_depth", "url_len"):
+        assert (eng[c].astype(str) == ora[c].astype(str)).all(), c
+    row = eng[eng["url"] == "https://example.com/a/b/c"].iloc[0]
+    assert row["host"] == "example.com" and row["tld"] == "com" and row["path_depth"] == 3
