@@ -73,6 +73,10 @@ def main(argv: list[str] | None = None) -> int:
     p.add_argument("--inputs", nargs="+", help="multiple inputs (stack)")
     p.add_argument("--output", help="output parquet path")
     p.add_argument("--window", help="clip: col_off,row_off,width,height")
+    p.add_argument("--bounds", help="clip: left,bottom,right,top in CRS coords (rio clip --bounds)")
+    p.add_argument("--transform", help="clip --bounds: layer transform a,b,c,d,e,f (default identity)")
+    p.add_argument("--scale-ratio", type=float, default=None, help="convert: value *= ratio (rio convert)")
+    p.add_argument("--scale-offset", type=float, default=None, help="convert: value += offset (rio convert)")
     p.add_argument("--factors", default="2,4,8", help="overview: comma factors")
     p.add_argument("--src-crs", default="EPSG:4326")
     p.add_argument("--dst-crs", default="EPSG:3857")
@@ -239,11 +243,27 @@ def main(argv: list[str] | None = None) -> int:
         for x in parts[1:]:
             out = out.unionByName(x)
     elif args.op == "clip":
-        from rasterio_spark.grid.windows import Window
+        from rasterio_spark.grid.windows import Window, from_bounds
         from rasterio_spark.operators.window_read import read
 
-        co, ro, w, h = (int(x) for x in args.window.split(","))
-        out = read(spark.read.parquet(args.input), Window(co, ro, w, h))
+        if args.bounds:
+            # rio clip --bounds: CRS coords -> window via the transform
+            from rasterio_spark.grid.affine import Affine
+
+            l, b, r, t = (float(x) for x in args.bounds.split(","))
+            tr = (
+                Affine(*(float(x) for x in args.transform.split(",")))
+                if args.transform
+                else Affine.identity()
+            )
+            if tr.e < 0:
+                win = from_bounds(l, b, r, t, tr)
+            else:  # south-up / identity grids
+                win = from_bounds(l, t, r, b, tr)
+            out = read(spark.read.parquet(args.input), win)
+        else:
+            co, ro, w, h = (int(x) for x in args.window.split(","))
+            out = read(spark.read.parquet(args.input), Window(co, ro, w, h))
     elif args.op == "mask":
         from rasterio_spark.grid.affine import Affine
         from rasterio_spark.operators.rasterize import mask_cells
@@ -302,7 +322,14 @@ def main(argv: list[str] | None = None) -> int:
         from pyspark.sql import functions as F
 
         df = spark.read.parquet(args.input)
-        out = df.withColumn("value", F.col("value").cast(args.dtype))
+        v = F.col("value")
+        # rio convert --scale-ratio/--scale-offset: value*ratio + offset
+        # BEFORE the dtype cast (reference rio/convert.py order)
+        if args.scale_ratio is not None:
+            v = v * args.scale_ratio
+        if args.scale_offset is not None:
+            v = v + args.scale_offset
+        out = df.withColumn("value", v.cast(args.dtype))
     elif args.op == "warp":
         from rasterio_spark.operators.warp import downsample
 

@@ -177,3 +177,43 @@ def test_pad_edge_mode(spark):
     # interior untouched
     assert vals[(2, 2)] == (1.0, True)
     assert all(v[1] for v in vals.values())
+
+
+def test_cli_clip_bounds_and_convert_scale(spark, tmp_path, capsys):
+    """rio clip --bounds and rio convert --scale-ratio/--scale-offset
+    analogues."""
+    import json
+
+    from pyspark.sql import functions as F
+
+    from rasterio_spark import cli
+
+    cells_path = str(tmp_path / "cells_cli3")
+    spark.range(0, 64).select(
+        F.lit(1).cast("int").alias("band"),
+        F.expr("CAST(id DIV 8 AS INT)").alias("row"),
+        (F.col("id") % 8).cast("int").alias("col"),
+        F.col("id").cast("double").alias("value"),
+        F.lit(True).alias("valid"),
+    ).write.parquet(cells_path)
+
+    # identity transform: bounds (2,2)-(5,5) -> rows/cols 2..4
+    out_path = str(tmp_path / "clipped")
+    assert cli.main([
+        "clip", "--input", cells_path, "--bounds", "2,2,5,5",
+        "--output", out_path, "--cores", "4",
+    ]) == 0
+    clipped = spark.read.parquet(out_path)
+    assert clipped.count() == 9
+    rc = clipped.agg(F.min("row"), F.max("row"), F.min("col"), F.max("col")).first()
+    assert tuple(rc) == (2, 4, 2, 4)
+
+    conv_path = str(tmp_path / "scaled")
+    assert cli.main([
+        "convert", "--input", cells_path, "--dtype", "double",
+        "--scale-ratio", "0.5", "--scale-offset", "10",
+        "--output", conv_path, "--cores", "4",
+    ]) == 0
+    conv = spark.read.parquet(conv_path)
+    row = conv.where("row = 1 AND col = 0").first()
+    assert row["value"] == 8 * 0.5 + 10
