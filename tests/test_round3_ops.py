@@ -603,3 +603,38 @@ def test_dedup_paragraphs_hand_checked(spark):
     # max_df=3 keeps it
     out3 = {r["doc_id"]: r for r in dedup_paragraphs(docs, max_df=3).collect()}
     assert out3[0]["clean_text"] == rows[0][1]
+
+
+@pytest.mark.parametrize(
+    "m_left,m_top,m_right,m_bot", [(1, 1, 1, 1), (3, 0, 2, 4), (0, 5, 0, 0)]
+)
+def test_outer_boundless_pixel_fidelity_ported(spark, m_left, m_top, m_right, m_bot):
+    """Ported reference tests/test_boundless_read.py property: an outer
+    boundless read changes no interior pixel; the border is fill +
+    invalid."""
+    from pyspark.sql import functions as F
+
+    from rasterio_spark.grid.windows import Window
+    from rasterio_spark.operators.window_read import read_boundless
+
+    H = W_ = 6
+    cells = spark.range(0, H * W_).select(
+        F.lit(1).cast("int").alias("band"),
+        F.expr(f"CAST(id DIV {W_} AS INT)").alias("row"),
+        (F.col("id") % W_).cast("int").alias("col"),
+        (F.col("id") + 1.0).alias("value"),
+        F.lit(True).alias("valid"),
+    )
+    w = Window(-m_left, -m_top, W_ + m_left + m_right, H + m_top + m_bot)
+    out = {
+        (r["row"], r["col"]): (r["value"], r["valid"])
+        for r in read_boundless(cells, w, fill_value=-5.0).collect()
+    }
+    assert len(out) == (H + m_top + m_bot) * (W_ + m_left + m_right)
+    for r in range(-m_top, H + m_bot):
+        for c in range(-m_left, W_ + m_right):
+            v, valid = out[(r, c)]
+            if 0 <= r < H and 0 <= c < W_:
+                assert valid and v == r * W_ + c + 1.0
+            else:
+                assert not valid and v == -5.0
