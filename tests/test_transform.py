@@ -151,3 +151,22 @@ def test_affine_compose_identity():
     ident = Affine.identity()
     assert t * ident == t
     assert ident * t == t
+
+
+def test_xy_rowcol_inverse_ported():
+    """Ported reference test_transform.py:408-416 property: rowcol is
+    the exact inverse of xy at cell centers, including rotated
+    transforms."""
+    from rasterio_spark.grid.affine import Affine
+    from rasterio_spark.grid.transform import rowcol, xy
+
+    transforms = [
+        Affine.identity(),
+        Affine(300.0379, 0.0, 101985.0, 0.0, -300.0417, 2826915.0),
+        Affine(2.0, 0.5, 10.0, -0.3, -1.5, 500.0),  # rotated/sheared
+    ]
+    for t in transforms:
+        for r, c in ((0, 0), (3, 7), (17, 2), (100, 55)):
+            x, y = xy(t, r, c)
+            rr, cc = rowcol(t, x, y)
+            assert (int(rr), int(cc)) == (r, c), (tuple(t), r, c)
