@@ -191,3 +191,35 @@ def test_strtree_picklable():
     tree2 = pickle.loads(pickle.dumps(tree))
     qi, items = tree2.query(np.array([[0.5, 0.5, 2.5, 2.5]]))
     assert set(items.tolist()) == {0, 1}
+
+
+def test_is_valid_geom_reference_matrix():
+    """Ported reference tests/test_features.py:294-435 validity matrix
+    (empty coordinates invalid, unknown types invalid, non-dict
+    inputs invalid)."""
+    from rasterio_spark.grid.geometry import is_valid_geom
+
+    valid = [
+        {"type": "Point", "coordinates": [1, 1]},
+        {"type": "MultiPoint", "coordinates": [[1, 1], [2, 2]]},
+        {"type": "LineString", "coordinates": [[0, 0], [1, 1]]},
+        {"type": "LinearRing", "coordinates": [[0, 0], [0, 1], [1, 1], [0, 0]]},
+        {"type": "Polygon", "coordinates": [[[0, 0], [0, 1], [1, 1], [0, 0]]]},
+    ]
+    invalid = [
+        {"type": "Point", "coordinates": []},
+        {"type": "MultiPoint", "coordinates": []},
+        {"type": "LineString", "coordinates": []},
+        {"type": "Polygon", "coordinates": []},
+        {"type": "Polygon", "coordinates": [[]]},
+        {"type": "MultiPolygon", "coordinates": []},
+        {"type": "GeometryCollection", "geometries": []},
+        {"type": "Polygon"},
+        {"type": "bogus", "coordinates": []},
+        None,
+        "Polygon",
+    ]
+    for g in valid:
+        assert is_valid_geom(g), g
+    for g in invalid:
+        assert not is_valid_geom(g), g
