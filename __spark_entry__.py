@@ -413,8 +413,10 @@ def q_ivf_topk_fullprobe(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 def q_kmeans_assign(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Distributed Lloyd's k-means training (the IVF index's missing
-    trainer) — rows-only check (iterative float means are not ANSI-SQL
-    reproducible; convergence/recall is pytest-verified)."""
+    trainer) — full value oracle: the fixed-iteration run is unrolled as
+    DuckDB CTEs (kmeans_assign_sql) with every cross-engine mean rounded
+    to 9 decimals, the determinism contract the trainer was built with;
+    convergence/recall is additionally pytest-verified."""
     from rasterio_spark.operators.similarity import kmeans_fit
 
     assign, _ = kmeans_fit(

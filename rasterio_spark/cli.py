@@ -103,9 +103,33 @@ def main(argv: list[str] | None = None) -> int:
     args = p.parse_args(argv)
 
     if args.op == "rm":
-        # rio rm: delete the dataset (table dir + sidecar), driver-side
+        # rio rm: delete the dataset (table dir + sidecar), driver-side.
+        # Like the reference (which only deletes datasets GDAL can open),
+        # refuse unless the target actually looks like a layer table:
+        # a _descriptor.json sidecar, a _SUCCESS marker, or parquet files.
+        import glob
+        import os
         import shutil
 
+        if not args.input:
+            print("rm: --input is required", file=sys.stderr)
+            return 2
+        if not os.path.isdir(args.input):
+            print(f"rm: {args.input}: not a directory", file=sys.stderr)
+            return 2
+        looks_like_layer = (
+            os.path.exists(os.path.join(args.input, "_descriptor.json"))
+            or os.path.exists(os.path.join(args.input, "_SUCCESS"))
+            or bool(glob.glob(os.path.join(args.input, "*.parquet")))
+            or bool(glob.glob(os.path.join(args.input, "*", "*.parquet")))
+        )
+        if not looks_like_layer:
+            print(
+                f"rm: {args.input}: not a layer table "
+                "(no _descriptor.json / _SUCCESS / *.parquet) — refusing to delete",
+                file=sys.stderr,
+            )
+            return 2
         shutil.rmtree(args.input)
         print(json.dumps({"removed": args.input}))
         return 0

@@ -557,7 +557,9 @@ def downsample_stats(
         elif m == "max":
             aggs.append(F.max("value").alias("max_v"))
         elif m == "sum":
-            aggs.append(F.sum("value").alias("sum_v"))
+            # round like avg/rms: float sums are order-dependent across
+            # engines once values are non-integer
+            aggs.append(F.round(F.sum("value"), 6).alias("sum_v"))
         elif m == "count":
             aggs.append(F.count("value").cast("double").alias("cnt_v"))
         elif m == "rms":
@@ -586,7 +588,7 @@ def downsample_stats_sql(
         "average": "round(avg(value), 6) AS avg_v",
         "min": "min(value) AS min_v",
         "max": "max(value) AS max_v",
-        "sum": "sum(value) AS sum_v",
+        "sum": "round(sum(value), 6) AS sum_v",
         "count": "CAST(count(value) AS DOUBLE) AS cnt_v",
         "rms": "round(sqrt(avg(value * value)), 6) AS rms_v",
         "med": "round(quantile_cont(value, 0.5), 6) AS med_v",

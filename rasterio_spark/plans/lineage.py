@@ -77,7 +77,6 @@ def checkpointed_write(
     Returns {written: n, skipped: n}.
     """
     spark = df.sparkSession
-    spark.conf.set("spark.sql.sources.partitionOverwriteMode", "dynamic")
     data_dir = os.path.join(out_dir, stage)
 
     done = read_lineage(spark, out_dir, stage)
@@ -98,8 +97,16 @@ def checkpointed_write(
     written = 0
     if write_ids:
         part = df.where(F.col(partition_col).isin(write_ids))
-        # idempotent: dynamic overwrite replaces exactly these partitions
-        part.write.mode("overwrite").partitionBy(partition_col).parquet(data_dir)
+        # idempotent: dynamic overwrite replaces exactly these partitions.
+        # partitionOverwriteMode is set per-write (DataFrameWriter option)
+        # so the session conf — and unrelated overwrite writes later in
+        # the same session — are never mutated.
+        (
+            part.write.mode("overwrite")
+            .option("partitionOverwriteMode", "dynamic")
+            .partitionBy(partition_col)
+            .parquet(data_dir)
+        )
         lineage = partition_lineage(part, stage, partition_col).withColumn(
             "committed_at", F.lit(int(time.time())).cast("long")
         )
@@ -141,7 +148,6 @@ def write_window(
     """
     import math
 
-    spark.conf.set("spark.sql.sources.partitionOverwriteMode", "dynamic")
     rs_start = int(math.floor(window.row_off))
     rs_stop = int(math.ceil(window.row_off + window.height))
     cs_start = int(math.floor(window.col_off))
@@ -170,7 +176,30 @@ def write_window(
     # partitions first (localCheckpoint cuts the lineage back to the
     # files we are about to replace)
     out = out.localCheckpoint()
-    out.write.mode("overwrite").partitionBy(partition_col).parquet(table_dir)
+    (
+        out.write.mode("overwrite")
+        .option("partitionOverwriteMode", "dynamic")
+        .partitionBy(partition_col)
+        .parquet(table_dir)
+    )
+    # Dynamic overwrite only replaces partitions PRESENT in `out`: an
+    # affected tile that the patch leaves with zero rows (sparse model —
+    # the window erased everything in it and new_cells contributed none)
+    # would otherwise keep its stale files. Delete those partition dirs
+    # explicitly so the replace semantics hold.
+    present = {r[0] for r in out.select(partition_col).distinct().collect()}
+    stale = [tid for tid in affected if tid not in present]
+    if stale:
+        # Hadoop FS API so the delete works on any storage (HDFS/S3/local)
+        jvm = spark._jvm
+        hconf = spark._jsc.hadoopConfiguration()
+        for tid in stale:
+            jpath = jvm.org.apache.hadoop.fs.Path(
+                os.path.join(table_dir, f"{partition_col}={tid}")
+            )
+            fs = jpath.getFileSystem(hconf)
+            if fs.exists(jpath):
+                fs.delete(jpath, True)
     return {"partitions": affected}
 
 

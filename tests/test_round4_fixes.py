@@ -1,0 +1,99 @@
+"""Round-4 regression pins for the r3 ADVICE items.
+
+- write_window replace semantics when a patch leaves an affected tile
+  empty (stale partition files must not survive), and session-conf
+  hygiene (partitionOverwriteMode set per-write, never on the session).
+- `cli rm` refuses to delete directories that are not layer tables.
+"""
+
+import os
+import subprocess
+import sys
+
+from pyspark.sql import functions as F
+
+REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+
+
+def _layer(spark, table, tile_h=128, n=512):
+    cells = spark.range(0, n).select(
+        (F.col("id") / 2).cast("int").alias("row"),
+        (F.col("id") % 2).cast("int").alias("col"),
+        F.lit(1).cast("int").alias("band"),
+        F.col("id").cast("double").alias("value"),
+        F.lit(True).alias("valid"),
+    ).withColumn("tile_i", F.expr(f"row DIV {tile_h}").cast("int"))
+    cells.write.partitionBy("tile_i").parquet(table)
+    return cells
+
+
+def test_write_window_erase_to_empty_removes_stale_partition(spark, tmp_path):
+    """If the patched frame contributes zero rows to an affected tile
+    (sparse model: the window erased everything in it), that tile's
+    partition directory must be deleted — dynamic overwrite alone would
+    leave its stale files readable."""
+    from rasterio_spark.grid.windows import Window
+    from rasterio_spark.plans.lineage import write_window
+
+    table = str(tmp_path / "layer")
+    cells = _layer(spark, table)
+    conf_before = spark.conf.get("spark.sql.sources.partitionOverwriteMode")
+
+    # erase tile 1 (rows 128..255, both cols) with an empty patch
+    empty = cells.where(F.lit(False)).drop("tile_i")
+    res = write_window(spark, table, empty, Window(0, 128, 2, 128), tile_height=128)
+    assert res["partitions"] == [1]
+    assert not os.path.isdir(os.path.join(table, "tile_i=1"))
+    # tile 0 intact: 128 rows x 2 cols
+    left = spark.read.parquet(table)
+    assert left.count() == 256
+    assert left.select(F.max("row")).first()[0] == 127
+    # session conf untouched (per-write option, ADVICE low #3)
+    assert spark.conf.get("spark.sql.sources.partitionOverwriteMode") == conf_before
+
+
+def test_write_window_partial_erase_keeps_partition(spark, tmp_path):
+    """A patch that leaves some rows in the tile keeps the partition."""
+    from rasterio_spark.grid.windows import Window
+    from rasterio_spark.plans.lineage import write_window
+
+    table = str(tmp_path / "layer")
+    cells = _layer(spark, table)
+    # erase only rows 128..191 of tile 1
+    empty = cells.where(F.lit(False)).drop("tile_i")
+    write_window(spark, table, empty, Window(0, 128, 2, 64), tile_height=128)
+    assert os.path.isdir(os.path.join(table, "tile_i=1"))
+    left = spark.read.parquet(table)
+    assert left.count() == 256 + 128  # tile0 full + tile1 rows 192..255
+
+
+def _run_cli(*argv):
+    return subprocess.run(
+        [sys.executable, "-m", "rasterio_spark.cli", *argv],
+        cwd=REPO, capture_output=True, text=True,
+    )
+
+
+def test_cli_rm_refuses_non_layer_dir(tmp_path):
+    bogus = tmp_path / "not_a_layer"
+    bogus.mkdir()
+    (bogus / "precious.txt").write_text("x")
+    r = _run_cli("rm", "--input", str(bogus))
+    assert r.returncode == 2
+    assert "refusing to delete" in r.stderr
+    assert bogus.is_dir() and (bogus / "precious.txt").exists()
+
+
+def test_cli_rm_requires_input_and_existing_dir(tmp_path):
+    assert _run_cli("rm").returncode == 2
+    assert _run_cli("rm", "--input", str(tmp_path / "nope")).returncode == 2
+
+
+def test_cli_rm_deletes_layer_table(tmp_path):
+    layer = tmp_path / "layer"
+    layer.mkdir()
+    (layer / "_SUCCESS").write_text("")
+    (layer / "part-00000.parquet").write_text("")
+    r = _run_cli("rm", "--input", str(layer))
+    assert r.returncode == 0, r.stderr
+    assert not layer.exists()
