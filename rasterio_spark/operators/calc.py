@@ -136,10 +136,26 @@ def calc(
 
     ``expression`` is SQL infix, or a rio-calc snuggs s-expression when
     it starts with "(" — translated by :func:`snuggs_to_sql`.
+
+    ``bands=None`` infers the band list from the ``b<N>`` references in
+    the expression — pure plan construction, no Spark job, and the
+    pivot only carries bands the expression actually uses. Pass
+    ``bands="discover"`` to opt in to discovering every band present in
+    the table (runs a distinct job at plan time), or an explicit list
+    (e.g. from the layer descriptor's ``count``).
     """
+    import re
+
     if expression.lstrip().startswith("("):
         expression = snuggs_to_sql(expression)
     if bands is None:
+        bands = sorted({int(m) for m in re.findall(r"\bb(\d+)\b", expression)})
+        if not bands:
+            raise ValueError(
+                "calc: expression references no b<N> bands; pass bands= "
+                "explicitly (or bands='discover' to scan the table)"
+            )
+    elif bands == "discover":
         bands = [r["band"] for r in cells.select("band").distinct().orderBy("band").collect()]
     wide = to_wide(cells, bands)
     value = F.expr(expression)

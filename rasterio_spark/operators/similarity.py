@@ -162,14 +162,20 @@ def kmeans_fit(
     base = with_unit_norm(embeddings, vec_col).select(
         F.col(id_col).alias("vec_id"), "_vec"
     )
-    from pyspark.sql import Window as _W
-
-    # distributed take-ordered for the seeds, THEN a window over only k
-    # rows (a global row_number over the full table would funnel it
-    # through one partition)
+    # distributed take-ordered for the seeds, then rank the k survivors
+    # with array_sort + posexplode (a partial-aggregated global agg over
+    # only k rows) — no WindowExec at all, so no unpartitioned-window
+    # funnel or warning; a global row_number over the full table would
+    # move everything through one partition
     seeds = base.orderBy("vec_id").limit(k)
-    cent = seeds.withColumn("_rn", F.row_number().over(_W.orderBy("vec_id"))).select(
-        (F.col("_rn") - 1).cast("int").alias("cluster"), F.col("_vec").alias("_cvec")
+    cent = (
+        seeds.groupBy()
+        .agg(F.array_sort(F.collect_list(F.struct("vec_id", "_vec"))).alias("_s"))
+        .select(F.posexplode("_s").alias("_pos", "_sv"))
+        .select(
+            F.col("_pos").cast("int").alias("cluster"),
+            F.col("_sv._vec").alias("_cvec"),
+        )
     )
     d2 = F.aggregate(
         F.zip_with(F.col("_vec"), F.col("_cvec"), lambda x, y: (x - y) * (x - y)),

@@ -89,6 +89,60 @@ def test_cli_rm_requires_input_and_existing_dir(tmp_path):
     assert _run_cli("rm", "--input", str(tmp_path / "nope")).returncode == 2
 
 
+def test_calc_infers_bands_without_plan_time_job(spark):
+    """calc(bands=None) parses b<N> refs from the expression — pure plan
+    construction. A mapInPandas source that raises on execution proves no
+    job runs at plan time (the old behavior collected distinct bands)."""
+    import pytest
+
+    from rasterio_spark.operators.calc import calc
+
+    cells = spark.range(0, 8).select(
+        (1 + F.col("id") % 2).cast("int").alias("band"),
+        F.lit(0).cast("int").alias("row"),
+        (F.col("id") / 2).cast("int").alias("col"),
+        F.col("id").cast("double").alias("value"),
+        F.lit(True).alias("valid"),
+    )
+
+    def boom(_it):
+        raise RuntimeError("plan-time job executed")
+        yield  # pragma: no cover
+
+    lazy = cells.mapInPandas(boom, schema=cells.schema)
+    out = calc(lazy, "0.5 * b1 + 0.5 * b2")  # must not trigger a job
+    assert set(out.columns) == {"band", "row", "col", "value", "valid"}
+
+    # inferred == explicit on real data
+    inferred = calc(cells, "0.5 * b1 + 0.5 * b2").orderBy("row", "col").collect()
+    explicit = calc(cells, "0.5 * b1 + 0.5 * b2", bands=[1, 2]).orderBy("row", "col").collect()
+    assert inferred == explicit
+
+    # discover opt-in still scans the table; band-free expression errors
+    assert calc(cells, "b1 * 2", bands="discover").count() == 4
+    with pytest.raises(ValueError, match="references no b<N> bands"):
+        calc(cells, "1 + 1")
+
+
+def test_kmeans_seed_centroids_no_window(spark):
+    """Seed ranking uses collect_list+posexplode, not WindowExec — the
+    physical plan must contain no Window operator, and seeds stay the k
+    smallest vec_ids in order."""
+    from rasterio_spark.operators.similarity import kmeans_fit
+
+    emb = spark.range(0, 40).select(
+        F.col("id").alias("vec_id"),
+        F.array(
+            (F.col("id") % 5).cast("float"), (F.col("id") % 3).cast("float")
+        ).alias("embedding"),
+    )
+    assign, cent = kmeans_fit(emb, k=4, iters=2)
+    assert "Window" not in assign._jdf.queryExecution().executedPlan().toString()
+    rows = {r["cluster"] for r in cent.collect()}
+    assert rows == {0, 1, 2, 3}
+    assert assign.count() == 40
+
+
 def test_cli_rm_deletes_layer_table(tmp_path):
     layer = tmp_path / "layer"
     layer.mkdir()
