@@ -411,8 +411,159 @@ def _sieve_region_graph(
     return root_of, val
 
 
+def _sieve_region_graph_distributed(
+    reg: DataFrame, edges: DataFrame, size: int, max_rounds: int = 50
+) -> DataFrame:
+    """Distributed GDAL-sieve merge over the region graph — the fallback
+    when the graph exceeds the driver threshold.
+
+    Round-synchronous schedule of the same rule as
+    :func:`_sieve_region_graph`: each round, every under-threshold
+    region that is a strict local minimum by (n_cells, label) among the
+    currently-merging candidates merges into its largest live neighbor
+    (ties -> smaller label); merged values then fuse adjacent same-value
+    regions exactly (adaptive connected components). Local-minima-only
+    merging makes each round's merge set an independent set — no two
+    merging sources are adjacent, and every target is stable within the
+    round — so the schedule is deterministic and always progresses (the
+    global minimum is always a local minimum). It coincides with the
+    sequential driver order whenever concurrently-merging regions don't
+    contend (isolated small regions — the common sparse-noise case);
+    under contention the merge ORDER may differ while the merge RULE is
+    identical. The exact-sequential driver path remains the default
+    whenever the region graph fits (see :func:`sieve`).
+
+    ``reg``: (label, value, n); ``edges``: (la, lb) distinct, la != lb.
+    Returns (label, new_value): final value for every original label.
+    All state (mapping, live regions, edges) stays region-graph-sized
+    and distributed; each round localCheckpoints to keep plans O(1).
+    """
+    import warnings
+
+    from rasterio_spark.operators.dedup import connected_components_pairs
+
+    mapping = reg.select(
+        F.col("label").alias("node"), F.col("label").alias("root")
+    ).localCheckpoint()
+    live = reg.select(F.col("label").alias("root"), "value", "n").localCheckpoint()
+    e = (
+        edges.select(
+            F.least("la", "lb").alias("la"), F.greatest("la", "lb").alias("lb")
+        )
+        .where(F.col("la") != F.col("lb"))
+        .distinct()
+        .localCheckpoint()
+    )
+
+    def _remap(df, col, delta):
+        d = delta.select(F.col("old_root").alias(col), F.col("new_root").alias(f"_n_{col}"))
+        return df.join(d, col, "left").withColumn(
+            col, F.coalesce(f"_n_{col}", col)
+        ).drop(f"_n_{col}")
+
+    converged = False
+    for _ in range(max_rounds):
+        nbr = e.select(F.col("la").alias("src"), F.col("lb").alias("dst")).unionByName(
+            e.select(F.col("lb").alias("src"), F.col("la").alias("dst"))
+        )
+        small = live.where(F.col("n") < size).select(
+            F.col("root").alias("src"), F.col("n").alias("n_src")
+        )
+        cand = nbr.join(small, "src").join(
+            live.select(F.col("root").alias("dst"), F.col("n").alias("n_dst")), "dst"
+        )
+        # target = largest live neighbor, ties -> smaller label
+        choice = cand.groupBy("src", "n_src").agg(
+            F.min(F.struct((-F.col("n_dst")).alias("k"), F.col("dst"))).getField("dst").alias("tgt")
+        ).select("src", "n_src", "tgt")
+        mergers_all = choice.localCheckpoint()
+        if mergers_all.limit(1).count() == 0:
+            converged = True  # no small region has a live neighbor
+            break
+        # local-minimum filter: src merges iff no merging neighbor has a
+        # strictly smaller (n, label) key
+        s_keys = mergers_all.select("src", "n_src")
+        both = (
+            nbr.join(s_keys, "src")
+            .join(
+                s_keys.select(
+                    F.col("src").alias("dst"), F.col("n_src").alias("n_dst_s")
+                ),
+                "dst",
+            )
+        )
+        blocked = both.where(
+            F.struct(F.col("n_dst_s").alias("n"), F.col("dst").alias("l"))
+            < F.struct(F.col("n_src").alias("n"), F.col("src").alias("l"))
+        ).select("src").distinct()
+        mergers = mergers_all.join(blocked, "src", "left_anti").localCheckpoint()
+
+        delta = mergers.select(
+            F.col("src").alias("old_root"), F.col("tgt").alias("new_root")
+        )
+        mapping = _remap(mapping, "root", delta).localCheckpoint()
+        gains = mergers.groupBy("tgt").agg(F.sum("n_src").alias("gain"))
+        live = (
+            live.join(mergers.select(F.col("src").alias("root")), "root", "left_anti")
+            .join(gains.select(F.col("tgt").alias("root"), "gain"), "root", "left")
+            .withColumn("n", F.col("n") + F.coalesce("gain", F.lit(0)))
+            .drop("gain")
+            .localCheckpoint()
+        )
+        e = (
+            _remap(_remap(e, "la", delta), "lb", delta)
+            .select(F.least("la", "lb").alias("la"), F.greatest("la", "lb").alias("lb"))
+            .where(F.col("la") != F.col("lb"))
+            .distinct()
+            .localCheckpoint()
+        )
+
+        # fuse adjacent same-value regions (absorbed cells took the
+        # target's value; neighbors sharing it are now one polygon)
+        ev = (
+            e.join(live.select(F.col("root").alias("la"), F.col("value").alias("va")), "la")
+            .join(live.select(F.col("root").alias("lb"), F.col("value").alias("vb")), "lb")
+        )
+        same = ev.where(F.col("va") == F.col("vb")).select("la", "lb").localCheckpoint()
+        if same.limit(1).count() > 0:
+            fused = connected_components_pairs(
+                same.select(F.col("la").alias("doc_a"), F.col("lb").alias("doc_b"))
+            )
+            fdelta = fused.where(F.col("node") != F.col("label")).select(
+                F.col("node").alias("old_root"), F.col("label").alias("new_root")
+            )
+            mapping = _remap(mapping, "root", fdelta).localCheckpoint()
+            live = (
+                _remap(live, "root", fdelta)
+                .groupBy("root")
+                .agg(F.first("value").alias("value"), F.sum("n").alias("n"))
+                .localCheckpoint()
+            )
+            e = (
+                _remap(_remap(e, "la", fdelta), "lb", fdelta)
+                .select(F.least("la", "lb").alias("la"), F.greatest("la", "lb").alias("lb"))
+                .where(F.col("la") != F.col("lb"))
+                .distinct()
+                .localCheckpoint()
+            )
+    if not converged:
+        warnings.warn(
+            f"sieve: distributed region merge did not converge in "
+            f"{max_rounds} rounds; small regions may remain. Raise max_rounds.",
+            RuntimeWarning,
+            stacklevel=2,
+        )
+    return mapping.join(live.select("root", "value"), "root").select(
+        F.col("node").alias("label"), F.col("value").alias("new_value")
+    )
+
+
 def sieve(
-    cells: DataFrame, size: int, connectivity: int = 4, mode: str = "longest_border"
+    cells: DataFrame,
+    size: int,
+    connectivity: int = 4,
+    mode: str = "longest_border",
+    driver_threshold: int = 1_000_000,
 ) -> DataFrame:
     """Remove regions smaller than ``size`` cells
     (reference features.py:146-197 / GDALSieveFilter). Returns
@@ -428,18 +579,23 @@ def sieve(
 
     mode='gdal': GDAL parity — iterative merge into the LARGEST
     neighbor polygon (which may itself be small) until stable, run on
-    the REGION GRAPH (labels, sizes, adjacency): O(#regions) driver
-    state, not O(#cells) — region graphs are perimeter-bounded, so this
-    is the per-AOI path at scale; the relabel map is broadcast back.
+    the REGION GRAPH (labels, sizes, adjacency). Adaptive: when the
+    graph fits under ``driver_threshold`` edges+regions (region graphs
+    are perimeter-bounded, so this is the overwhelmingly common case)
+    an exact sequential union-find runs on the driver and the relabel
+    map is broadcast back; above it, a round-synchronous distributed
+    merge (:func:`_sieve_region_graph_distributed`) applies the same
+    rule with nothing driver-side. ``driver_threshold=0`` forces the
+    distributed path (tests pin its equivalence to the driver path).
     """
     from rasterio_spark.plans.cache import scoped_persist
 
     if mode == "gdal":
         cc = scoped_persist(connected_components(cells, connectivity))
-        regions_pdf = (
-            cc.groupBy("label")
-            .agg(F.first("value").alias("value"), F.count(F.lit(1)).alias("n"))
-            .toPandas()
+        reg = scoped_persist(
+            cc.groupBy("label").agg(
+                F.first("value").alias("value"), F.count(F.lit(1)).alias("n")
+            )
         )
         offsets = [(0, 1), (1, 0)] + ([(1, 1), (1, -1)] if connectivity == 8 else [])
         a = cc.alias("a")
@@ -460,18 +616,34 @@ def sieve(
         ef = edge_frames[0]
         for x in edge_frames[1:]:
             ef = ef.unionByName(x)
-        edges = [(r["la"], r["lb"]) for r in ef.distinct().collect()]
-        regions = {
-            int(r["label"]): (float(r["value"]), int(r["n"]))
-            for _, r in regions_pdf.iterrows()
-        }
-        root_of, val = _sieve_region_graph(regions, edges, size)
-        spark = cells.sparkSession
-        map_df = spark.createDataFrame(
-            [(l, float(val[r])) for l, r in root_of.items()],
-            "label long, new_value double",
-        )
-        return cc.join(F.broadcast(map_df), "label", "left").select(
+        ef = scoped_persist(ef.distinct())
+
+        # probe-then-threshold (same hybrid as connected_components_pairs):
+        # limit(N+1) caps driver transfer; persist above makes the probe
+        # and any fallback share one computation of the edge set
+        edge_rows = reg_rows = None
+        if driver_threshold:
+            edge_rows = ef.limit(driver_threshold + 1).collect()
+            if len(edge_rows) <= driver_threshold:
+                reg_rows = reg.limit(driver_threshold + 1).collect()
+                if len(reg_rows) > driver_threshold:
+                    reg_rows = None
+        if reg_rows is not None:
+            regions = {
+                int(r["label"]): (float(r["value"]), int(r["n"])) for r in reg_rows
+            }
+            edges = [(r["la"], r["lb"]) for r in edge_rows]
+            root_of, val = _sieve_region_graph(regions, edges, size)
+            spark = cells.sparkSession
+            relabel = F.broadcast(
+                spark.createDataFrame(
+                    [(l, float(val[r])) for l, r in root_of.items()],
+                    "label long, new_value double",
+                )
+            )
+        else:
+            relabel = _sieve_region_graph_distributed(reg, ef, size)
+        return cc.join(relabel, "label", "left").select(
             "row",
             "col",
             F.coalesce("new_value", "value").alias("value"),
