@@ -41,8 +41,10 @@ def _polygon_cover(entries, res: int, rings_by_id=None) -> pd.DataFrame:
     ``interior`` marks cells FULLY contained in the polygon: pages in
     those cells are accepted without the ray-casting refine (classic
     filter-and-refine with an interior shortcut — only the O(perimeter)
-    boundary cells pay the UDF, not the O(area) interior). Driver-side
-    NumPy; size is O(total bbox area in cells), independent of page
+    boundary cells pay the UDF, not the O(area) interior). Pure NumPy:
+    runs driver-side for small layers, executor-side per batch inside
+    :func:`_polygon_cover_distributed` above COVER_DISTRIBUTED_THRESHOLD
+    polygons. Size is O(total bbox area in cells), independent of page
     count.
     """
     from rasterio_spark.grid.geometry import _segments_intersect_rects, points_in_rings
@@ -95,6 +97,52 @@ def _polygon_cover(entries, res: int, rings_by_id=None) -> pd.DataFrame:
 _LAYER_CACHE: dict = {}
 _COVER_ARRAY_CACHE: dict = {}
 
+# Above this many polygons the cover is built distributed (mapInPandas
+# over polygon batches) instead of a serial driver loop: at 10^5-10^6
+# shapes the serial build is minutes of driver time, while the batched
+# build is O(P / cores) wall-clock with the identical per-polygon NumPy.
+COVER_DISTRIBUTED_THRESHOLD = 10_000
+
+
+def _polygon_cover_distributed(spark, polygons: list[dict], res: int, batch_rows: int = 512) -> DataFrame:
+    """Cover build for large layers: the same per-polygon NumPy as
+    :func:`_polygon_cover`, run executor-side over polygon batches via
+    mapInPandas. Geometry ships inside the batch rows (geom json), so
+    nothing polygon-sized stays on the driver during the build; the
+    result is a DataFrame with the cover's exact schema."""
+    import json as _json
+
+    rows = [
+        (int(p["polygon_id"]), float(p["value"]), _json.dumps(p["geom"]))
+        for p in polygons
+    ]
+    n_part = max(
+        1,
+        min(len(rows) // batch_rows + 1, spark.sparkContext.defaultParallelism * 2),
+    )
+    src = spark.createDataFrame(
+        rows, "polygon_id long, value double, geom string"
+    ).repartition(n_part, "polygon_id")
+
+    def build(batches):
+        for pdf in batches:
+            if not len(pdf):
+                continue
+            polys = [
+                {"polygon_id": int(pid), "value": float(v), "geom": _json.loads(g)}
+                for pid, v, g in zip(
+                    pdf["polygon_id"].values, pdf["value"].values, pdf["geom"].values
+                )
+            ]
+            entries, rings_by_id = prepare_layer(polys)
+            if entries:
+                yield _polygon_cover(entries, res, rings_by_id)
+
+    return src.mapInPandas(
+        build,
+        schema="cell_id long, polygon_id long, poly_value double, interior boolean",
+    )
+
 
 def _cover_arrays(spark, polygons: list[dict], cover_res: int) -> dict:
     """Worker-resident cover index for strategy='probe': the cover
@@ -119,8 +167,13 @@ def _cover_arrays(spark, polygons: list[dict], cover_res: int) -> dict:
     hit = _COVER_ARRAY_CACHE.get(key)
     if hit is not None:
         return hit
-    entries, rings_by_id = prepare_layer(polygons)
-    pdf = _polygon_cover(entries, cover_res, rings_by_id)
+    if len(polygons) > COVER_DISTRIBUTED_THRESHOLD:
+        # large layer: build executor-side, collect only the capped
+        # cover (bounded by the 2M-cell cap upstream) into the index
+        pdf = _polygon_cover_distributed(spark, polygons, cover_res).toPandas()
+    else:
+        entries, rings_by_id = prepare_layer(polygons)
+        pdf = _polygon_cover(entries, cover_res, rings_by_id)
     order = np.argsort(pdf["cell_id"].values, kind="stable")
     cells = pdf["cell_id"].values[order]
     pids = pdf["polygon_id"].values[order].astype(np.int64)
@@ -182,8 +235,18 @@ def _layer_index(spark, polygons: list[dict], cover_res: int | None):
     bcast = spark.sparkContext.broadcast(FlatPolygons(rings_by_id))
     cover = None
     if cover_res is not None:
-        cover_pdf = _polygon_cover(entries, cover_res, rings_by_id)
-        cover = spark.createDataFrame(cover_pdf).withColumnRenamed("cell_id", "_cover_cell")
+        if len(polygons) > COVER_DISTRIBUTED_THRESHOLD:
+            # large layer: executor-side batched build; localCheckpoint
+            # materializes it once so every cached reuse joins the
+            # stored cover instead of re-running the build
+            cover = _polygon_cover_distributed(
+                spark, polygons, cover_res
+            ).withColumnRenamed("cell_id", "_cover_cell").localCheckpoint()
+        else:
+            cover_pdf = _polygon_cover(entries, cover_res, rings_by_id)
+            cover = spark.createDataFrame(cover_pdf).withColumnRenamed(
+                "cell_id", "_cover_cell"
+            )
         cover = F.broadcast(cover)
     val = (entries, rings_by_id, bcast, cover)
     _LAYER_CACHE[key] = val
