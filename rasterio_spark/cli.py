@@ -96,6 +96,8 @@ def main(argv: list[str] | None = None) -> int:
     p.add_argument("--nodata", type=float, help="edit-info: set nodata value")
     p.add_argument("--set-crs", help="edit-info: set the layer CRS")
     p.add_argument("--tag", action="append", default=[], help="edit-info: KEY=VALUE tag (repeatable)")
+    p.add_argument("--colormap", help='edit-info: JSON {"value": [r,g,b(,a)], ...} color table')
+    p.add_argument("--band", type=int, default=1, help="edit-info: band the --colormap applies to")
     p.add_argument("--descriptor", action="store_true", help="info: include the descriptor sidecar")
     p.add_argument("--width", type=int, default=256, help="create: layer width")
     p.add_argument("--height", type=int, default=256, help="create: layer height")
@@ -151,6 +153,12 @@ def main(argv: list[str] | None = None) -> int:
             tags.update(dict(t.split("=", 1) for t in args.tag))
             updates["tags"] = tags
         desc = dataclasses.replace(desc, **updates)
+        if args.colormap:
+            from rasterio_spark.sources.layers import write_colormap
+
+            desc = write_colormap(
+                desc, args.band, {int(k): v for k, v in json.loads(args.colormap).items()}
+            )
         write_descriptor(args.input, desc)
         print(json.dumps(desc.to_dict()))
         return 0

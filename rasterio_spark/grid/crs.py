@@ -20,13 +20,218 @@ MAX_X = 20037508.342789244
 MERC_MAX_LAT = 85.051128779806589
 
 
+class CRSError(ValueError):
+    """Invalid CRS input (reference rasterio.errors.CRSError)."""
+
+
 def normalize_crs(crs) -> str:
+    """Lenient normalization used by every operator: accepts anything
+    :func:`from_user_input` accepts plus pass-through of already-
+    normalized strings. Strict parsing lives in from_user_input."""
+    if not isinstance(crs, str):
+        return from_user_input(crs)
     s = str(crs).upper().replace(" ", "")
     if s in ("EPSG:4326", "WGS84", "CRS84", "OGC:CRS84"):
         return "EPSG:4326"
     if s in ("EPSG:3857", "EPSG:900913", "WEBMERCATOR"):
         return "EPSG:3857"
-    return s
+    try:
+        return from_user_input(crs)
+    except CRSError:
+        return s
+
+
+def from_epsg(code) -> str:
+    """Normalized "EPSG:n" from an EPSG code (reference crs.pyx:616-658
+    from_epsg): positive ints only, clear errors otherwise."""
+    try:
+        code = int(code)
+    except (TypeError, ValueError) as err:
+        raise CRSError(f"Not a valid EPSG code: {code!r}") from err
+    if code <= 0:
+        raise CRSError("EPSG codes are positive integers")
+    if code >= 2**31:
+        raise CRSError(f"Not in the range of valid EPSG codes: {code}")
+    return f"EPSG:{code}"
+
+
+def from_authority(auth_name: str, code) -> str:
+    """Reference crs.pyx:852-874 from_authority."""
+    auth = str(auth_name).upper()
+    if auth == "EPSG":
+        return from_epsg(code)
+    if auth == "OGC" and str(code).upper() == "CRS84":
+        return "EPSG:4326"
+    raise CRSError(f"unsupported CRS authority {auth_name!r} (engine is EPSG-addressable only)")
+
+
+def from_dict(initialdata=None, **kwargs) -> str:
+    """PROJ-parameter dict -> normalized "EPSG:n" (reference
+    crs.pyx:703-760 from_dict). Recognizes init-style dicts and the
+    PROJ parameter sets of the engine's two CRSs; anything else errors
+    clearly rather than guessing."""
+    d = dict(initialdata or {})
+    d.update(kwargs)
+    if not d:
+        raise CRSError("CRS is empty or invalid: {}")
+    d = {str(k).lower(): v for k, v in d.items()}
+    init = d.get("init")
+    if init is not None:
+        auth, _, code = str(init).partition(":")
+        if auth.upper() != "EPSG" or not code:
+            raise CRSError(f"Invalid init CRS: {init!r}")
+        return from_epsg(code)
+    proj = str(d.get("proj", "")).lower()
+    if proj in ("longlat", "latlong", "latlon", "lonlat"):
+        datum = str(d.get("datum", "WGS84")).upper()
+        ellps = str(d.get("ellps", "WGS84")).upper()
+        if datum == "WGS84" or (("datum" not in d) and ellps == "WGS84"):
+            return "EPSG:4326"
+        raise CRSError(
+            f"unsupported geographic datum {d!r} (engine ships WGS84 only)"
+        )
+    if proj in ("merc", "webmerc"):
+        # spherical web mercator: +a=6378137 (+b=a), k=1, lat_ts/lon_0/x_0/y_0 = 0
+        a = float(d.get("a", R))
+        b = float(d.get("b", a))
+        if a == R and b == R:
+            return "EPSG:3857"
+        raise CRSError(f"unsupported mercator parameters {d!r} (engine ships EPSG:3857 only)")
+    raise CRSError(
+        f"unsupported PROJ dict {d!r}: engine CRSs are EPSG-addressable "
+        "(use init='epsg:n' or an EPSG string)"
+    )
+
+
+def from_proj4(proj: str) -> str:
+    """PROJ4 string -> normalized "EPSG:n" (reference crs.pyx:661-700
+    from_proj4, incl. its drop-'false'-valued-params filter)."""
+    if not isinstance(proj, str) or not proj.strip():
+        raise CRSError(f"CRS is empty or invalid: {proj!r}")
+    d: dict = {}
+    for tok in proj.strip().split():
+        tok = tok.lstrip("+")
+        if not tok:
+            continue
+        key, eq, value = tok.partition("=")
+        if eq and value.lower() == "false":
+            continue  # reference filters nonsensical 'false' params
+        d[key.lower()] = value if eq else True
+    if not d:
+        raise CRSError(f"The PROJ4 dict could not be understood: {proj!r}")
+    d.pop("no_defs", None)
+    d.pop("type", None)
+    d.pop("wktext", None)
+    return from_dict(d)
+
+
+_WKT_AUTH_RE = None
+
+
+def from_wkt(wkt: str) -> str:
+    """WKT -> normalized "EPSG:n" by authority recognition (reference
+    crs.pyx:585-613 from_wkt): the engine recognizes the top-level
+    AUTHORITY/ID["EPSG", n] clause (WKT1 and WKT2) and well-known WGS84
+    / web-mercator names; other WKT errors clearly."""
+    import re
+
+    global _WKT_AUTH_RE
+    if _WKT_AUTH_RE is None:
+        _WKT_AUTH_RE = re.compile(
+            r'(?:AUTHORITY|ID)\s*\[\s*"EPSG"\s*,\s*"?(\d+)"?\s*\]', re.IGNORECASE
+        )
+    if not isinstance(wkt, str) or not wkt.strip():
+        raise CRSError(f"CRS is empty or invalid: {wkt!r}")
+    s = wkt.strip()
+    if not s.endswith("]"):
+        raise CRSError(f"The WKT could not be parsed: {wkt!r}")
+    codes = _WKT_AUTH_RE.findall(s)
+    if codes:
+        # the dataset-level authority is the LAST clause in WKT
+        return from_epsg(codes[-1])
+    head = s.split("[", 1)[0].upper()
+    name = s.split('"', 2)[1] if '"' in s else ""
+    if head in ("GEOGCS", "GEOGCRS") and name.upper().replace(" ", "") in ("WGS84", "WGS_1984"):
+        return "EPSG:4326"
+    if "PSEUDO-MERCATOR" in s.upper() or "WEB MERCATOR" in s.upper():
+        return "EPSG:3857"
+    raise CRSError(
+        f"WKT has no recognizable EPSG authority: {s[:80]!r}... "
+        "(engine CRSs are EPSG-addressable)"
+    )
+
+
+def from_string(value: str) -> str:
+    """EPSG / urn / PROJ4 / WKT / JSON string -> normalized "EPSG:n"
+    (reference crs.pyx:876-938 from_string dispatch)."""
+    import json as _json
+
+    if not isinstance(value, str):
+        raise CRSError(f"CRS is invalid: {value!r}")
+    value = value.strip()
+    if not value:
+        raise CRSError(f"CRS is empty or invalid: {value!r}")
+    if value.upper().startswith("EPSG:") and "+" not in value:
+        _, _, code = value.partition(":")
+        if not code:
+            raise CRSError(f"Invalid CRS: {value!r}")
+        return from_epsg(code)
+    if value.startswith("{") or value.startswith("["):
+        try:
+            val = _json.loads(value, strict=False)
+        except ValueError:
+            raise CRSError("CRS appears to be JSON but is not valid")
+        if not val:
+            raise CRSError("CRS is empty JSON")
+        return from_dict(val)
+    if value.endswith("]"):
+        return from_wkt(value)
+    if "=" in value:
+        return from_proj4(value)
+    up = value.upper().replace(" ", "")
+    if up in ("WGS84", "CRS84", "OGC:CRS84", "URN:OGC:DEF:CRS:OGC:1.3:CRS84"):
+        return "EPSG:4326"
+    if up in ("WEBMERCATOR", "EPSG:900913"):
+        return "EPSG:3857"
+    m = up
+    if m.startswith("URN:OGC:DEF:CRS:EPSG:"):
+        return from_epsg(m.rsplit(":", 1)[-1])
+    if m.startswith("EPSG::"):
+        return from_epsg(m.rsplit(":", 1)[-1])
+    raise CRSError(f"CRS is invalid: {value!r}")
+
+
+def from_user_input(value) -> str:
+    """Anything a reference caller passes -> normalized "EPSG:n" string
+    (reference crs.pyx:816-850 from_user_input dispatch): CRS-like
+    objects (to_wkt), ints, PROJ dicts, and EPSG/urn/PROJ4/WKT/JSON
+    strings. The engine still projects only EPSG:4326 <-> EPSG:3857 —
+    other codes normalize fine and error at transform time."""
+    if hasattr(value, "to_wkt") and callable(value.to_wkt):
+        return from_wkt(value.to_wkt())
+    if isinstance(value, bool):
+        raise CRSError(f"CRS is invalid: {value!r}")
+    if isinstance(value, int):
+        return from_epsg(value)
+    if isinstance(value, dict):
+        return from_dict(value)
+    if isinstance(value, str):
+        return from_string(value)
+    raise CRSError(f"CRS is invalid: {value!r}")
+
+
+def to_epsg(crs) -> int | None:
+    """EPSG code of a normalized CRS, or None if not EPSG-addressable."""
+    try:
+        s = normalize_crs(crs)
+    except CRSError:
+        return None
+    if s.upper().startswith("EPSG:"):
+        try:
+            return int(s.split(":", 1)[1])
+        except ValueError:
+            return None
+    return None
 
 
 def crs_equal(a, b) -> bool:

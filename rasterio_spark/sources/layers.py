@@ -44,6 +44,12 @@ class LayerDescriptor:
     block_shape: tuple[int, int] = (256, 256)
     # free-form metadata tags (reference update_tags/edit_info surface)
     tags: dict = field(default_factory=dict)
+    # per-band color tables: {bidx: {value: (r, g, b, a)}} — the
+    # reference's GDAL color table (_io.pyx:1911-1951 write_colormap /
+    # _base.pyx:1302-1345 colormap) as a small dict side table on the
+    # descriptor sidecar; applied distributed via apply_colormap's
+    # broadcast lookup-join.
+    colormaps: dict = field(default_factory=dict)
 
     def window(self) -> Window:
         """The full-extent window."""
@@ -53,6 +59,10 @@ class LayerDescriptor:
         d = self.__dict__.copy()
         d["transform"] = list(self.transform)
         d["block_shape"] = list(self.block_shape)
+        d["colormaps"] = {
+            str(b): {str(v): list(rgba) for v, rgba in cmap.items()}
+            for b, cmap in self.colormaps.items()
+        }
         return d
 
     @classmethod
@@ -60,6 +70,10 @@ class LayerDescriptor:
         d = dict(d)
         d["transform"] = Affine(*d["transform"])
         d["block_shape"] = tuple(d["block_shape"])
+        d["colormaps"] = {
+            int(b): {int(v): tuple(rgba) for v, rgba in cmap.items()}
+            for b, cmap in d.get("colormaps", {}).items()
+        }
         return cls(**d)
 
 
@@ -86,6 +100,55 @@ def read_descriptor(table_path: str) -> LayerDescriptor:
 
     with open(os.path.join(table_path, DESCRIPTOR_SIDECAR)) as f:
         return LayerDescriptor.from_dict(json.load(f))
+
+
+def write_colormap(desc: LayerDescriptor, bidx: int, colormap: dict) -> LayerDescriptor:
+    """Set band ``bidx``'s color table — DatasetWriter.write_colormap
+    parity (reference _io.pyx:1911-1951): keys are ints, values 3- or
+    4-tuples of 0-255 ints; 3-tuples get alpha 255. Replaces any
+    existing table for the band. Returns the updated descriptor (frozen
+    dataclass; persist with write_descriptor)."""
+    import dataclasses
+
+    if not 1 <= bidx <= desc.count:
+        raise IndexError(f"band index {bidx} out of range (1..{desc.count})")
+    table = {}
+    for v, rgba in colormap.items():
+        rgba = tuple(int(x) for x in rgba)
+        if len(rgba) == 3:
+            rgba = rgba + (255,)
+        if len(rgba) != 4 or not all(0 <= x <= 255 for x in rgba):
+            raise ValueError(f"invalid colormap entry {v}: {rgba}")
+        table[int(v)] = rgba
+    cmaps = dict(desc.colormaps)
+    cmaps[int(bidx)] = table
+    return dataclasses.replace(desc, colormaps=cmaps)
+
+
+def colormap(desc: LayerDescriptor, bidx: int) -> dict:
+    """Band ``bidx``'s color table as {value: (r, g, b, a)} — reference
+    _base.pyx:1302-1345 semantics: IndexError for a bad band, ValueError
+    when the band has no color table (NULL color table)."""
+    if not 1 <= bidx <= desc.count:
+        raise IndexError(f"band index {bidx} out of range (1..{desc.count})")
+    table = desc.colormaps.get(int(bidx))
+    if table is None:
+        raise ValueError(f"NULL color table for band {bidx}")
+    return {int(v): tuple(rgba) for v, rgba in table.items()}
+
+
+def apply_colormap(cells: DataFrame, desc: LayerDescriptor, bidx: int) -> DataFrame:
+    """Expand band ``bidx``'s cells to RGBA via the color table — the
+    distributed face of the palette: a broadcast lookup-join on the
+    (tiny) color table, so the scan side never shuffles. Unmapped
+    values get NULL components (GDAL reads absent entries as zeros only
+    inside the table's range; NULL is the honest relational form).
+    Returns cells + (r, g, b, a) int columns."""
+    table = colormap(desc, bidx)  # validates band + presence
+    spark = cells.sparkSession
+    rows = [(float(v), r, g, b, a) for v, (r, g, b, a) in sorted(table.items())]
+    lut = spark.createDataFrame(rows, "value double, r int, g int, b int, a int")
+    return cells.where(F.col("band") == bidx).join(F.broadcast(lut), "value", "left")
 
 
 def identity_layer(width: int = 10, height: int = 10, **kw) -> LayerDescriptor:

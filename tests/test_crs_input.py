@@ -1,0 +1,164 @@
+"""CRS input normalization — ported accept/reject matrix from the
+reference's tests/test_crs.py over the from_user_input dispatch
+(reference crs.pyx:816-850, from_string :876-938, from_epsg :616-658).
+
+The engine normalizes every accepted form to an "EPSG:n" string; only
+the 4326<->3857 pair projects (SURVEY.md §1.1) — other codes normalize
+fine and error at transform time."""
+
+import pytest
+
+from rasterio_spark.grid.crs import (
+    CRSError,
+    crs_equal,
+    from_authority,
+    from_dict,
+    from_epsg,
+    from_proj4,
+    from_string,
+    from_user_input,
+    from_wkt,
+    normalize_crs,
+    to_epsg,
+    transform_points,
+)
+
+WGS84_WKT1 = (
+    'GEOGCS["WGS 84",DATUM["WGS_1984",SPHEROID["WGS 84",6378137,298.257223563,'
+    'AUTHORITY["EPSG","7030"]],AUTHORITY["EPSG","6326"]],PRIMEM["Greenwich",0,'
+    'AUTHORITY["EPSG","8901"]],UNIT["degree",0.0174532925199433,'
+    'AUTHORITY["EPSG","9122"]],AUTHORITY["EPSG","4326"]]'
+)
+MERC_WKT2_ID = 'PROJCRS["WGS 84 / Pseudo-Mercator",BASEGEOGCRS["WGS 84"],ID["EPSG",3857]]'
+
+
+def test_from_epsg():
+    # reference test_from_epsg / _fail / _overflow
+    assert from_epsg(4326) == "EPSG:4326"
+    assert from_epsg("3857") == "EPSG:3857"
+    with pytest.raises(CRSError, match="positive"):
+        from_epsg(0)
+    with pytest.raises(CRSError, match="positive"):
+        from_epsg(-1)
+    with pytest.raises(CRSError, match="range"):
+        from_epsg(1111111111111111111111)
+    with pytest.raises(CRSError):
+        from_epsg("xyz")
+
+
+def test_from_string_epsg():
+    # reference test_from_epsg_string / _fail
+    assert from_string("epsg:4326") == "EPSG:4326"
+    assert from_string("EPSG:3857") == "EPSG:3857"
+    with pytest.raises(CRSError):
+        from_string("epsg:xyz")
+    with pytest.raises(CRSError):
+        from_string("EPSG:")
+
+
+@pytest.mark.parametrize("arg", ["{}", "[]", ""])
+def test_empty_json_rejected(arg):
+    # reference test_empty_json
+    with pytest.raises(CRSError):
+        from_string(arg)
+
+
+def test_invalid_json_rejected():
+    # reference: CRS.from_string("{foo: bar}")
+    with pytest.raises(CRSError, match="JSON"):
+        from_string("{foo: bar}")
+
+
+def test_from_proj4_strings():
+    # reference test_from_string / test_from_string_2 / latlong alias
+    assert from_string("+proj=longlat +ellps=WGS84 +datum=WGS84 +no_defs") == "EPSG:4326"
+    assert from_string("+init=epsg:26911") == "EPSG:26911"
+    assert crs_equal(
+        "+proj=longlat +datum=WGS84 +no_defs", "+proj=latlong +datum=WGS84 +no_defs"
+    )
+    # spherical web mercator params
+    assert from_proj4(
+        "+proj=merc +a=6378137 +b=6378137 +lat_ts=0 +lon_0=0 +x_0=0 +y_0=0 +k=1 +units=m +no_defs"
+    ) == "EPSG:3857"
+    # reference's false-valued-param filter
+    assert from_proj4("+proj=longlat +datum=WGS84 +over=false") == "EPSG:4326"
+    with pytest.raises(CRSError):
+        from_proj4("+proj=lcc +lat_1=33 +lat_2=45")  # not EPSG-addressable here
+    with pytest.raises(CRSError):
+        from_proj4("")
+
+
+def test_from_dict():
+    # reference test_equality_from_dict / test_to_string
+    assert from_dict(init="epsg:4326") == "EPSG:4326"
+    assert from_dict({"init": "epsg:3857"}) == "EPSG:3857"
+    assert from_dict({"proj": "longlat", "datum": "WGS84", "no_defs": True}) == "EPSG:4326"
+    with pytest.raises(CRSError):
+        from_dict({})
+    with pytest.raises(CRSError):
+        from_dict({"proj": "lcc"})
+
+
+def test_from_wkt():
+    assert from_wkt(WGS84_WKT1) == "EPSG:4326"  # last AUTHORITY wins (dataset-level)
+    assert from_wkt(MERC_WKT2_ID) == "EPSG:3857"  # WKT2 ID[] form
+    assert from_wkt('GEOGCS["WGS 84",DATUM["WGS_1984"]]') == "EPSG:4326"  # name fallback
+    with pytest.raises(CRSError):
+        from_wkt('PROJCS["Some Local Grid",GEOGCS["local"]]')
+    with pytest.raises(CRSError):
+        from_wkt("not wkt")
+
+
+def test_from_user_input_dispatch():
+    # reference crs.pyx:816-850: int / dict / str / CRS-like / invalid
+    assert from_user_input(4326) == "EPSG:4326"
+    assert from_user_input({"init": "epsg:4326"}) == "EPSG:4326"
+    assert from_user_input("EPSG:3857") == "EPSG:3857"
+    assert from_user_input(WGS84_WKT1) == "EPSG:4326"
+
+    class FakeCRS:
+        def to_wkt(self):
+            return WGS84_WKT1
+
+    assert from_user_input(FakeCRS()) == "EPSG:4326"
+    for bad in (None, 3.14, True, object()):
+        with pytest.raises(CRSError):
+            from_user_input(bad)
+
+
+def test_urn_and_aliases():
+    # reference test_crs84 / test_epsg_treats_as_latlong
+    assert from_string("OGC:CRS84") == "EPSG:4326"
+    assert from_string("urn:ogc:def:crs:OGC:1.3:CRS84") == "EPSG:4326"
+    assert from_string("urn:ogc:def:crs:EPSG::4326") == "EPSG:4326"
+    assert from_string("WGS84") == "EPSG:4326"
+    assert crs_equal("EPSG:4326", "OGC:CRS84")
+
+
+def test_from_authority():
+    assert from_authority("EPSG", 3857) == "EPSG:3857"
+    assert from_authority("OGC", "CRS84") == "EPSG:4326"
+    with pytest.raises(CRSError):
+        from_authority("ESRI", 102100)
+
+
+def test_to_epsg():
+    # reference test_to_epsg
+    assert to_epsg("+proj=longlat +datum=WGS84 +no_defs") == 4326
+    assert to_epsg(4326) == 4326
+    assert to_epsg("EPSG:26911") == 26911
+    assert to_epsg("something else entirely") is None
+
+
+def test_normalize_feeds_operators():
+    """Every accepted form drives the actual transform — callers no
+    longer hand-write 'EPSG:4326'."""
+    import numpy as np
+
+    for src in (4326, {"init": "epsg:4326"}, "+proj=longlat +datum=WGS84", WGS84_WKT1):
+        x, y = transform_points(normalize_crs(src), "EPSG:3857", [0.0], [0.0])
+        assert abs(x[0]) < 1e-9 and abs(y[0]) < 1e-9
+    # unsupported pair errors at transform time, not parse time
+    assert normalize_crs(26911) == "EPSG:26911"
+    with pytest.raises(ValueError, match="unsupported CRS pair"):
+        transform_points("EPSG:26911", "EPSG:3857", np.array([0.0]), np.array([0.0]))

@@ -308,6 +308,81 @@ def test_pip_join_distributed_cover_equivalence(spark, monkeypatch):
     assert len(base_b) > 0
 
 
+def test_colormap_roundtrip(tmp_path):
+    """write_colormap/colormap parity with the reference round-trip
+    (reference tests/test_colormap.py): 3-tuples get alpha 255, the
+    table survives the descriptor sidecar, absent tables raise
+    ValueError, bad bands IndexError."""
+    import pytest
+
+    from rasterio_spark.sources.layers import (
+        LayerDescriptor,
+        colormap,
+        read_descriptor,
+        write_colormap,
+        write_descriptor,
+    )
+
+    desc = LayerDescriptor(width=10, height=10, count=2)
+    desc = write_colormap(desc, 1, {0: (255, 0, 0, 255), 255: (0, 0, 0, 0), 7: (1, 2, 3)})
+    cmap = colormap(desc, 1)
+    assert cmap[0] == (255, 0, 0, 255)
+    assert cmap[255] == (0, 0, 0, 0)
+    assert cmap[7] == (1, 2, 3, 255)  # 3-tuple -> alpha 255 (reference rule)
+    with pytest.raises(ValueError, match="NULL color table"):
+        colormap(desc, 2)
+    with pytest.raises(IndexError):
+        colormap(desc, 3)
+    with pytest.raises(IndexError):
+        write_colormap(desc, 0, {0: (1, 2, 3)})
+    with pytest.raises(ValueError):
+        write_colormap(desc, 1, {0: (300, 0, 0)})
+
+    table_dir = tmp_path / "layer"
+    table_dir.mkdir()
+    write_descriptor(str(table_dir), desc)
+    back = read_descriptor(str(table_dir))
+    assert colormap(back, 1) == cmap
+    # write replaces the band's whole table
+    desc2 = write_colormap(back, 1, {4: (9, 9, 9, 9)})
+    assert colormap(desc2, 1) == {4: (9, 9, 9, 9)}
+
+
+def test_colormap_cli_and_apply(spark, tmp_path):
+    """edit-info --colormap persists the table; apply_colormap expands
+    cells to RGBA via a broadcast lookup-join."""
+    import json
+
+    from rasterio_spark import cli
+    from rasterio_spark.sources.layers import (
+        LayerDescriptor,
+        apply_colormap,
+        read_descriptor,
+        write_descriptor,
+    )
+
+    table_dir = tmp_path / "layer"
+    table_dir.mkdir()
+    write_descriptor(str(table_dir), LayerDescriptor(width=4, height=1))
+    rc = cli.main([
+        "edit-info", "--input", str(table_dir),
+        "--colormap", json.dumps({"0": [255, 0, 0], "2": [0, 0, 255, 128]}),
+        "--band", "1",
+    ])
+    assert rc == 0
+    desc = read_descriptor(str(table_dir))
+
+    cells = spark.createDataFrame(
+        [(1, 0, c, float(c), True) for c in range(4)],
+        "band int, row int, col int, value double, valid boolean",
+    )
+    out = {r["col"]: (r["r"], r["g"], r["b"], r["a"])
+           for r in apply_colormap(cells, desc, 1).collect()}
+    assert out[0] == (255, 0, 0, 255)
+    assert out[2] == (0, 0, 255, 128)
+    assert out[1] == (None, None, None, None)  # unmapped -> NULL components
+
+
 def test_cli_rm_deletes_layer_table(tmp_path):
     layer = tmp_path / "layer"
     layer.mkdir()
