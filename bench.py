@@ -75,6 +75,22 @@ def ensure_pages(spark, n: int, geocoded: bool = True) -> str:
     return path
 
 
+def ensure_docs(spark, n: int) -> str:
+    """Materialize the synthetic documents corpus to parquet once
+    (untimed setup) — same contract as ensure_pages: the timed dedup
+    job reads a stored table, so generation cost never enters the
+    measurement."""
+    off = f"_o{OFFSET}" if OFFSET else ""
+    path = os.path.join(PAGES_CACHE, f"docs_{n}{off}")
+    if not os.path.exists(os.path.join(path, "_SUCCESS")):
+        from rasterio_spark.sources.documents import synth_documents
+
+        synth_documents(spark, n, partitions=64, offset=OFFSET).write.mode(
+            "overwrite"
+        ).parquet(path)
+    return path
+
+
 GEOCODE = os.environ.get("BENCH_GEOCODE", "stored")
 STRATEGY = os.environ.get("BENCH_STRATEGY", "auto")
 # Cover resolution for the headline join. res 7 (= the working tiling
@@ -290,13 +306,56 @@ def main() -> None:
     if "--prepare-only" in sys.argv:
         # build this shard's parquet caches (full + warm-up size) and
         # exit — run sequentially before a concurrent scaling pass so
-        # no worker writes a cache while another's clock is running
+        # no worker writes a cache while another's clock is running.
+        # BENCH_JOB=dedup prepares the documents corpus instead.
         from rasterio_spark.plans.session import get_session
 
         n = int(os.environ.get("BENCH_N", "600000"))
         spark = get_session(app_name="bench_prepare", cores=8, shuffle_partitions=8)
-        ensure_pages(spark, n)
-        ensure_pages(spark, min(n, 100_000))
+        if os.environ.get("BENCH_JOB") == "dedup":
+            ensure_docs(spark, n)
+        else:
+            ensure_pages(spark, n)
+            ensure_pages(spark, min(n, 100_000))
+        spark.stop()
+        return
+    if "--dedup-only" in sys.argv:
+        # shuffle-heavy scaling subject (round-3 VERDICT item 4): the
+        # MinHash+LSH candidate-pair job — posexplode shingles ->
+        # signature groupBy -> band explode -> bucket self-join. Wide
+        # shuffles at every stage, unlike the map-heavy PIP headline.
+        from rasterio_spark.operators.dedup import minhash_lsh_pairs
+        from rasterio_spark.plans.session import get_session
+
+        n = int(os.environ.get("BENCH_N", "200000"))
+        spark = get_session(
+            app_name="bench_dedup", cores=CPUS, shuffle_partitions=max(CPUS, 8)
+        )
+        docs = spark.read.parquet(ensure_docs(spark, n))
+        # warm-up (JIT, codegen) on a slice, discarded
+        warm_hi = OFFSET + min(n // 20, 10_000)
+        minhash_lsh_pairs(
+            docs.where(f"doc_id < {warm_hi}"), max_bucket=50, hash_method="xxh64"
+        ).count()
+        _await_barrier()
+        times = []
+        pairs = 0
+        for _ in range(3):
+            t0 = time.perf_counter()
+            pairs = minhash_lsh_pairs(docs, max_bucket=50, hash_method="xxh64").count()
+            times.append(time.perf_counter() - t0)
+        times.sort()
+        print(
+            json.dumps(
+                {
+                    "sec": times[0],
+                    "median_sec": times[len(times) // 2],
+                    "rows": n,
+                    "pairs": pairs,
+                    "cpus": CPUS,
+                }
+            )
+        )
         spark.stop()
         return
     if "--headline-only" in sys.argv:
@@ -373,9 +432,12 @@ def main() -> None:
             }
     mp_log = os.path.join(bench_dir, "scaling_mp_log.jsonl")
     if os.path.exists(mp_log):
-        mrecs = [json.loads(l) for l in open(mp_log)]
-        mrecs = [r for r in mrecs if mrecs and r["n"] == mrecs[-1]["n"]]
-        if mrecs:
+        all_recs = [json.loads(l) for l in open(mp_log)]
+        for job, out_key in (("pip", "scaling_multiproc"), ("dedup", "scaling_multiproc_dedup")):
+            mrecs = [r for r in all_recs if r.get("job", "pip") == job]
+            mrecs = [r for r in mrecs if mrecs and r["n"] == mrecs[-1]["n"]]
+            if not mrecs:
+                continue
             # calm-cycle filter (round-2 protocol): report only cycles
             # whose host probes were all quiet, so a slow baseline in a
             # degraded phase can't inflate the efficiency
@@ -386,7 +448,7 @@ def main() -> None:
             ]
             pool = calm if calm else mrecs
             best = max(pool, key=lambda r: r["eff"])
-            out["scaling_multiproc"] = {
+            out[out_key] = {
                 "n_pages": best["n"],
                 "workers": best["workers"],
                 "tp1": best["tp1"],

@@ -115,13 +115,16 @@ def run_session(cpus: int, n: int, runs: int = 4) -> dict:
 MP_LOG = os.path.join(REPO, "BENCH", "scaling_mp_log.jsonl")
 
 
-def _headline_env(cpus: int, n: int, offset: int, barrier: str | None) -> dict:
+def _headline_env(
+    cpus: int, n: int, offset: int, barrier: str | None, job: str = "pip"
+) -> dict:
     env = dict(
         os.environ,
         SPARK_GRAFT_CPUS=str(cpus),
         BENCH_N=str(n),
         BENCH_OFFSET=str(offset),
         BENCH_GEOCODE="stored",
+        BENCH_JOB=job,
     )
     if barrier:
         env["BENCH_BARRIER"] = barrier
@@ -134,20 +137,26 @@ def _last_json(text: str) -> dict:
     return json.loads([l for l in text.strip().splitlines() if l.startswith("{")][-1])
 
 
-def multiproc_hunt(cycles: int, n: int, workers: int = 4) -> None:
+def multiproc_hunt(cycles: int, n: int, workers: int = 4, job: str = "pip") -> None:
     """1 x local[8] on one shard vs `workers` concurrent local[8] JVMs
-    on disjoint shards; efficiency = tpN / (workers * tp1)."""
+    on disjoint shards; efficiency = tpN / (workers * tp1).
+
+    ``job='pip'``: the map-heavy tiling+PIP headline. ``job='dedup'``:
+    the shuffle-heavy MinHash+LSH candidate-pair job (bench.py
+    --dedup-only) — wide shuffles at every stage, covering the scaling
+    criterion for the workload class the pip headline doesn't."""
     import shutil
     import tempfile
 
     os.makedirs(os.path.dirname(MP_LOG), exist_ok=True)
     shard = n // workers
     bench = os.path.join(REPO, "bench.py")
+    run_flag = "--dedup-only" if job == "dedup" else "--headline-only"
     # build every shard's parquet cache sequentially (untimed setup)
     for w in range(workers):
         subprocess.run(
             [sys.executable, bench, "--prepare-only"],
-            env=_headline_env(8, shard, w * shard, None),
+            env=_headline_env(8, shard, w * shard, None, job),
             capture_output=True,
             timeout=3600,
             cwd=REPO,
@@ -158,8 +167,8 @@ def multiproc_hunt(cycles: int, n: int, workers: int = 4) -> None:
         # baseline: one local[8] JVM, shard 0
         base = _last_json(
             subprocess.run(
-                [sys.executable, bench, "--headline-only"],
-                env=_headline_env(8, shard, 0, None),
+                [sys.executable, bench, run_flag],
+                env=_headline_env(8, shard, 0, None, job),
                 capture_output=True,
                 text=True,
                 timeout=3600,
@@ -173,8 +182,8 @@ def multiproc_hunt(cycles: int, n: int, workers: int = 4) -> None:
         try:
             procs = [
                 subprocess.Popen(
-                    [sys.executable, bench, "--headline-only"],
-                    env=_headline_env(8, shard, w * shard, f"{bdir}:{workers}"),
+                    [sys.executable, bench, run_flag],
+                    env=_headline_env(8, shard, w * shard, f"{bdir}:{workers}", job),
                     stdout=subprocess.PIPE,
                     stderr=subprocess.DEVNULL,
                     text=True,
@@ -186,10 +195,17 @@ def multiproc_hunt(cycles: int, n: int, workers: int = 4) -> None:
         finally:
             shutil.rmtree(bdir, ignore_errors=True)
         probe2 = host_probe()
-        tp1 = (shard + base["rows"]) / base["sec"]
-        tp4 = sum((shard + o["rows"]) / o["sec"] for o in outs)
+        if job == "dedup":
+            # metric: documents deduped per second
+            tp1 = base["rows"] / base["sec"]
+            tp4 = sum(o["rows"] / o["sec"] for o in outs)
+        else:
+            # metric: tiles + joined rows per second (north rule)
+            tp1 = (shard + base["rows"]) / base["sec"]
+            tp4 = sum((shard + o["rows"]) / o["sec"] for o in outs)
         rec = {
             "mode": "multiproc",
+            "job": job,
             "cycle": c,
             "workers": workers,
             "n": n,
@@ -282,17 +298,20 @@ def report() -> None:
         "global_best_eff": round((rows / g32) / (rows / g8) / 4.0, 4),
     }
     if os.path.exists(MP_LOG):
-        mrecs = [json.loads(l) for l in open(MP_LOG)]
-        mrecs = [r for r in mrecs if mrecs and r["n"] == mrecs[-1]["n"]]
-        if mrecs:
+        all_recs = [json.loads(l) for l in open(MP_LOG)]
+        for job, prefix in (("pip", "multiproc"), ("dedup", "multiproc_dedup")):
+            mrecs = [r for r in all_recs if r.get("job", "pip") == job]
+            mrecs = [r for r in mrecs if mrecs and r["n"] == mrecs[-1]["n"]]
+            if not mrecs:
+                continue
             mcalm = [
                 r
                 for r in mrecs
                 if max(r["probe_before"], r["probe_mid"], r["probe_after"]) <= 0.05
             ]
-            summary["multiproc_best"] = max(mcalm or mrecs, key=lambda r: r["eff"])
-            summary["multiproc_calm_cycles"] = len(mcalm)
-            summary["multiproc_cycles"] = len(mrecs)
+            summary[f"{prefix}_best"] = max(mcalm or mrecs, key=lambda r: r["eff"])
+            summary[f"{prefix}_calm_cycles"] = len(mcalm)
+            summary[f"{prefix}_cycles"] = len(mrecs)
     print(json.dumps(summary, indent=2))
 
 
@@ -300,10 +319,16 @@ if __name__ == "__main__":
     if "--report" in sys.argv:
         report()
     else:
-        args = [a for a in sys.argv[1:] if not a.startswith("--")]
+        argv = sys.argv[1:]
+        job = "pip"
+        if "--job" in argv:
+            i = argv.index("--job")
+            job = argv[i + 1]
+            argv = argv[:i] + argv[i + 2:]
+        args = [a for a in argv if not a.startswith("--")]
         cycles = int(args[0]) if args else 6
         n = int(args[1]) if len(args) > 1 else 24_000_000
-        if "--multiproc" in sys.argv:
-            multiproc_hunt(cycles, n)
+        if "--multiproc" in argv:
+            multiproc_hunt(cycles, n, job=job)
         else:
             hunt(cycles, n)
