@@ -144,9 +144,16 @@ def run_headline_median(spark, n: int, runs: int = 3) -> tuple[float, int]:
     return times[len(times) // 2], rows
 
 
-def run_suite(spark, sf_dir: str, n: int) -> dict[str, float]:
+def run_suite(
+    spark, sf_dir: str, n: int, only: set | None = None, repeats: int = 1
+) -> dict[str, float]:
     """Per-operator wall-clock (seconds). Each entry is an action over
-    the full plan (count or small collect)."""
+    the full plan (count or small collect).
+
+    ``only`` restricts to a subset of query names (regression pinning);
+    ``repeats`` > 1 re-times each selected entry that many times and
+    keeps the MINIMUM (steady-state timing: the first pass pays JIT/
+    codegen, later passes measure the operator)."""
     import warnings
 
     from pyspark.sql import functions as F
@@ -185,9 +192,15 @@ def run_suite(spark, sf_dir: str, n: int) -> dict[str, float]:
     timings: dict[str, float] = {}
 
     def timed(name, fn):
-        t0 = time.perf_counter()
-        fn()
-        timings[name] = round(time.perf_counter() - t0, 3)
+        if only is not None and name not in only:
+            return
+        best = None
+        for _ in range(max(1, repeats)):
+            t0 = time.perf_counter()
+            fn()
+            dt = time.perf_counter() - t0
+            best = dt if best is None else min(best, dt)
+        timings[name] = round(best, 3)
 
     with warnings.catch_warnings():
         warnings.simplefilter("ignore")
@@ -375,6 +388,23 @@ def main() -> None:
         # report both: best (robust to host phase shifts on this shared
         # VM) and median; scaling uses best-of
         print(json.dumps({"sec": times[0], "median_sec": times[len(times) // 2], "rows": rows, "cpus": CPUS}))
+        spark.stop()
+        return
+
+    if "--suite-only" in sys.argv:
+        # regression pinning: time only $BENCH_ONLY queries, best of
+        # $BENCH_REPEATS passes each (first pass pays JIT/codegen)
+        from rasterio_spark.plans.session import get_session
+
+        names = set(os.environ.get("BENCH_ONLY", "").split(",")) - {""}
+        repeats = int(os.environ.get("BENCH_REPEATS", "3"))
+        sf = sf_of(SF_DIR)
+        n = n_pages_for(sf)
+        spark = get_session(
+            app_name="bench_subset", cores=CPUS, shuffle_partitions=max(CPUS, 8)
+        )
+        q = run_suite(spark, SF_DIR, n, only=names or None, repeats=repeats)
+        print(json.dumps({"queries": q, "sf": sf, "cpus": CPUS, "repeats": repeats}))
         spark.stop()
         return
 

@@ -383,6 +383,24 @@ def test_colormap_cli_and_apply(spark, tmp_path):
     assert out[1] == (None, None, None, None)  # unmapped -> NULL components
 
 
+def test_synth_documents_deterministic_and_shardable(spark):
+    """Bench corpus generator: deterministic, disjoint offset shards
+    compose to the full corpus, and every dup_mod-th doc repeats its
+    predecessor (real duplicate structure for the dedup scaling job)."""
+    from rasterio_spark.sources.documents import synth_documents
+
+    full = {r["doc_id"]: r["text"] for r in synth_documents(spark, 40).collect()}
+    again = {r["doc_id"]: r["text"] for r in synth_documents(spark, 40).collect()}
+    assert full == again
+    s0 = {r["doc_id"]: r["text"] for r in synth_documents(spark, 20, offset=0).collect()}
+    s1 = {r["doc_id"]: r["text"] for r in synth_documents(spark, 20, offset=20).collect()}
+    assert set(s0) == set(range(20)) and set(s1) == set(range(20, 40))
+    assert {**s0, **s1} == full
+    for i in range(7, 40, 7):
+        assert full[i] == full[i - 1]  # dup structure
+    assert full[1] != full[2]
+
+
 def test_cli_rm_deletes_layer_table(tmp_path):
     layer = tmp_path / "layer"
     layer.mkdir()

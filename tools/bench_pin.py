@@ -1,0 +1,102 @@
+"""Regression pinning under calm windows (round-3 VERDICT item 3).
+
+BENCH_r03 showed a sub-2x regression cluster vs BENCH_r02
+(downsample_average +26%, cell_histogram +13%, knn +11%, merge_first
++11%, pip_join_sort_merge +8%) that ROUND_NOTES attributed to host
+phases. This tool decides: each cycle probes the host (numpy), then
+times ONLY those queries in a fresh bench subprocess (best of
+BENCH_REPEATS passes each — steady-state, first pass pays JIT), then
+probes again. Cycles append to BENCH/regression_pin.jsonl; the report
+compares calm-cycle minima against the r2/r3 artifacts.
+
+Usage:
+    python tools/bench_pin.py [cycles]      # default 3
+    python tools/bench_pin.py --report
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import subprocess
+import sys
+import time
+
+REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+sys.path.insert(0, os.path.join(REPO, "tools"))
+LOG = os.path.join(REPO, "BENCH", "regression_pin.jsonl")
+
+QUERIES = [
+    "downsample_average",
+    "cell_histogram",
+    "knn",
+    "merge_first",
+    "pip_join_sort_merge",
+]
+
+
+def host_probe(reps: int = 3) -> float:
+    from scaling_hunt import host_probe as hp
+
+    return hp(reps)
+
+
+def cycle(c: int) -> dict:
+    p0 = host_probe()
+    env = dict(
+        os.environ,
+        BENCH_ONLY=",".join(QUERIES),
+        BENCH_REPEATS="3",
+    )
+    out = subprocess.run(
+        [sys.executable, os.path.join(REPO, "bench.py"), "--suite-only"],
+        env=env,
+        capture_output=True,
+        text=True,
+        timeout=3600,
+        cwd=REPO,
+    )
+    line = [l for l in out.stdout.strip().splitlines() if l.startswith("{")][-1]
+    r = json.loads(line)
+    p1 = host_probe()
+    rec = {
+        "cycle": c,
+        "probe_before": round(p0, 3),
+        "probe_after": round(p1, 3),
+        "queries": r["queries"],
+        "ts": time.strftime("%H:%M:%S"),
+    }
+    os.makedirs(os.path.dirname(LOG), exist_ok=True)
+    with open(LOG, "a") as f:
+        f.write(json.dumps(rec) + "\n")
+    print(json.dumps(rec), flush=True)
+    return rec
+
+
+def report() -> None:
+    recs = [json.loads(l) for l in open(LOG)]
+    calm = [r for r in recs if max(r["probe_before"], r["probe_after"]) <= 0.05]
+    pool = calm if calm else recs
+    pinned = {
+        q: min(r["queries"][q] for r in pool if q in r["queries"]) for q in QUERIES
+    }
+    out = {"cycles": len(recs), "calm_cycles": len(calm), "pinned_min": pinned}
+    for tag in ("r02", "r03"):
+        path = os.path.join(REPO, f"BENCH_{tag}.json")
+        if os.path.exists(path):
+            doc = json.load(open(path))
+            ref = (doc.get("parsed") or doc).get("queries", {})
+            out[f"vs_{tag}"] = {
+                q: round(pinned[q] / ref[q], 3) for q in QUERIES if q in ref
+            }
+    print(json.dumps(out, indent=2))
+
+
+if __name__ == "__main__":
+    if "--report" in sys.argv:
+        report()
+    else:
+        n = int(sys.argv[1]) if len(sys.argv) > 1 and sys.argv[1].isdigit() else 3
+        for c in range(n):
+            cycle(c)
+            time.sleep(5)
