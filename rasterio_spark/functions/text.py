@@ -350,3 +350,128 @@ def url_features_sql(url_col: str = "url") -> dict[str, str]:
         "path_depth": f"greatest(len({parts}) - 3, 0)",
         "url_len": f"length({url_col})",
     }
+
+
+# --- PII redaction (training-data scrubbing) ------------------------------
+#
+# Regex subset chosen to behave identically under Java regex (Spark) and
+# RE2 (DuckDB): character classes, bounded repetition, \b, \d only.
+# Order matters: emails first (so local-part digits are gone before the
+# phone pass), then dotted IPs, then bare digit runs.
+PII_PATTERNS = [
+    ("email", r"[A-Za-z0-9._%+\-]+@[A-Za-z0-9.\-]+\.[A-Za-z]{2,}", "[EMAIL]"),
+    ("ip", r"\b\d{1,3}\.\d{1,3}\.\d{1,3}\.\d{1,3}\b", "[IP]"),
+    ("phone", r"\+?\d[\d \-()]{7,}\d", "[PHONE]"),
+]
+
+
+def redact_pii(docs: DataFrame, text_col: str = "text", out_col: str = "text_redacted") -> DataFrame:
+    """Replace emails / IPv4s / phone-number-shaped digit runs with
+    typed placeholder tokens — the standard pre-training scrub pass.
+    Pure JVM regexp_replace chain (codegen, no UDF); the DuckDB twin
+    applies the identical patterns."""
+    expr = F.col(text_col)
+    for _, pat, repl in PII_PATTERNS:
+        expr = F.regexp_replace(expr, pat, repl)
+    return docs.withColumn(out_col, expr)
+
+
+def redact_pii_sql(text_col: str = "text") -> str:
+    """DuckDB twin of redact_pii (same patterns, same order)."""
+    e = text_col
+    for _, pat, repl in PII_PATTERNS:
+        e = f"regexp_replace({e}, '{pat}', '{repl}', 'g')"
+    return e
+
+
+# --- benchmark decontamination --------------------------------------------
+
+
+def ngram_keys(
+    docs: DataFrame,
+    n: int = 8,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    use_hash: bool = True,
+) -> DataFrame:
+    """(id, key) for every n-token shingle of every doc. ``use_hash``
+    keys by xxhash64 of the shingle (8 bytes/row through the shuffle —
+    the 100 TB layout); False keys by the shingle string itself (the
+    DuckDB-twin-exact form used by the equivalence tests)."""
+    words = F.split(F.lower(F.col(text_col)), "\\s+")
+    # guard short docs: sequence(1, 0) DESCENDS in Spark, so an under-n
+    # doc must yield an empty index array, not [1, 0]
+    n_sh = F.size(words) - (n - 1)
+    idx = F.when(n_sh > 0, F.sequence(F.lit(1), n_sh)).otherwise(
+        F.array().cast("array<int>")
+    )
+    shingle = lambda i: F.concat_ws(" ", F.slice(words, i, n))  # noqa: E731
+    key = (lambda i: F.xxhash64(shingle(i))) if use_hash else shingle
+    return docs.select(
+        F.col(id_col).alias("_id"), F.explode(F.transform(idx, key)).alias("key")
+    ).select(F.col("_id").alias(id_col), "key")
+
+
+def decontaminate(
+    docs: DataFrame,
+    eval_docs: DataFrame,
+    n: int = 8,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    eval_text_col: str | None = None,
+    min_hits: int = 1,
+    use_hash: bool = True,
+) -> DataFrame:
+    """Drop training docs sharing >= ``min_hits`` distinct n-token
+    shingles with the evaluation corpus — benchmark-decontamination as
+    a broadcast anti-join: the eval side's distinct shingle keys are
+    tiny relative to the corpus (benchmarks are small by definition),
+    so the training scan never shuffles; only matched (id, key) rows
+    reach the hit-count groupBy. Returns ``docs`` minus contaminated
+    rows."""
+    ev = (
+        ngram_keys(eval_docs, n, eval_text_col or text_col, id_col, use_hash)
+        .select("key")
+        .distinct()
+    )
+    hits = (
+        ngram_keys(docs, n, text_col, id_col, use_hash)
+        .join(F.broadcast(ev), "key")
+        .groupBy(id_col)
+        .agg(F.count_distinct("key").alias("contam_hits"))
+        .where(F.col("contam_hits") >= min_hits)
+    )
+    return docs.join(hits.select(id_col), id_col, "left_anti")
+
+
+def decontaminate_sql(
+    n: int = 8,
+    table: str = "documents",
+    eval_table: str = "eval_docs",
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    min_hits: int = 1,
+) -> str:
+    """DuckDB twin of decontaminate(use_hash=False): identical shingle
+    construction (lower + \\s+ split), string keys, same hit rule."""
+
+    def shingles(tbl):
+        w = f"regexp_split_to_array(lower({text_col}), '\\s+')"
+        return f"""
+          SELECT {id_col},
+                 unnest([array_to_string({w}[i:i+{n - 1}], ' ')
+                         FOR i IN range(1, len({w}) - {n - 2})]) AS key
+          FROM {tbl} WHERE len({w}) >= {n}
+        """
+
+    return f"""
+        WITH ev AS (SELECT DISTINCT key FROM ({shingles(eval_table)})),
+        hits AS (
+          SELECT {id_col}, count(DISTINCT key) AS contam_hits
+          FROM ({shingles(table)}) s JOIN ev USING (key)
+          GROUP BY {id_col}
+          HAVING count(DISTINCT key) >= {min_hits}
+        )
+        SELECT d.* FROM {table} d
+        WHERE {id_col} NOT IN (SELECT {id_col} FROM hits)
+    """
