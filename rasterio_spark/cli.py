@@ -78,6 +78,12 @@ def main(argv: list[str] | None = None) -> int:
     p.add_argument("--scale-ratio", type=float, default=None, help="convert: value *= ratio (rio convert)")
     p.add_argument("--scale-offset", type=float, default=None, help="convert: value += offset (rio convert)")
     p.add_argument("--factors", default="2,4,8", help="overview: comma factors")
+    p.add_argument(
+        "--cascade",
+        action="store_true",
+        help="overview: cascading pyramid (one base scan + geometric tail) "
+        "instead of one scan per factor; avg/min/max/sum/count/rms only",
+    )
     p.add_argument("--src-crs", default="EPSG:4326")
     p.add_argument("--dst-crs", default="EPSG:3857")
     p.add_argument("--dtype", default="double", help="convert: value cast type")
@@ -261,16 +267,30 @@ def main(argv: list[str] | None = None) -> int:
     elif args.op == "overview":
         from pyspark.sql import functions as F
 
-        from rasterio_spark.operators.warp import downsample
+        from rasterio_spark.operators.warp import build_pyramid, downsample
 
         factors = [int(x) for x in args.factors.split(",")]
         method = args.method if args.method != "first" else "average"
-        parts = [
-            downsample(spark.read.parquet(args.input), f, method).withColumn(
-                "factor", F.lit(f)
-            )
-            for f in factors
-        ]
+        if args.cascade:
+            col = {
+                "average": "avg_v", "min": "min_v", "max": "max_v",
+                "sum": "sum_v", "count": "cnt_v", "rms": "rms_v",
+            }[method]
+            levels = build_pyramid(spark.read.parquet(args.input), factors)
+            parts = [
+                df.select(
+                    "band", "row", "col", F.col(col).alias("value"),
+                    F.lit(f).alias("factor"),
+                )
+                for f, df in levels.items()
+            ]
+        else:
+            parts = [
+                downsample(spark.read.parquet(args.input), f, method).withColumn(
+                    "factor", F.lit(f)
+                )
+                for f in factors
+            ]
         out = parts[0]
         for x in parts[1:]:
             out = out.unionByName(x)

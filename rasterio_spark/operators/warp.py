@@ -609,3 +609,98 @@ def downsample_stats_sql(
 def build_overviews(cells: DataFrame, factors: list[int], method: str = "average") -> dict[int, DataFrame]:
     """Materialized LOD pyramid: {factor: overview DataFrame}."""
     return {f: downsample(cells, f, method) for f in factors}
+
+
+def build_pyramid(
+    cells: DataFrame,
+    factors: list[int],
+    out_dir: str | None = None,
+    stage_prefix: str = "overview",
+    tile_height: int = 256,
+) -> dict[int, DataFrame]:
+    """Cascading LOD pyramid — the overview build a 100 TB layer wants.
+
+    ``build_overviews``/``downsample_stats`` compute every factor from
+    the BASE table: k factors = k full scans. This cascades factor-to-
+    factor instead, carrying the cascadable state (sum, sum-of-squares,
+    count, min, max) so total work is one base scan plus a geometric
+    tail (~4/3 of N for factor-2 steps). avg and rms are computed from
+    the carried weighted sums — exact, not the avg-of-avgs
+    approximation (which is wrong wherever valid-cell counts vary
+    between blocks). Non-cascadable aggregates (mode, med, q1, q3) stay
+    in ``downsample``; GDAL overviews don't offer them either.
+
+    ``factors`` must be ascending and each divisible by its
+    predecessor (2, 4, 8 ... or 3, 9, 27 ...). Returns {factor:
+    (band, row, col, avg_v, min_v, max_v, sum_v, cnt_v, rms_v)} with
+    the same aliases + rounding as downsample_stats, so each level is
+    oracle-comparable to the from-base form (pytest-pinned equal).
+
+    With ``out_dir`` each level is written RESUMABLY via
+    checkpointed_write (stage=f"{stage_prefix}_{factor}", partitioned
+    by row-tile) — kill the job mid-pyramid and the rerun writes only
+    the missing partitions of the missing levels (north-rule lineage).
+    """
+    for prev, f in zip([1] + list(factors), factors):
+        if f <= prev or f % prev:
+            raise ValueError(
+                f"factors must be ascending and each divisible by its "
+                f"predecessor; got {factors}"
+            )
+    state = cells.where(F.col("valid")).select(
+        "band",
+        "row",
+        "col",
+        F.col("value").alias("s"),
+        (F.col("value") * F.col("value")).alias("ss"),
+        F.lit(1).cast("long").alias("c"),
+        F.col("value").alias("mn"),
+        F.col("value").alias("mx"),
+    )
+    from rasterio_spark.plans.cache import scoped_persist
+
+    out: dict[int, DataFrame] = {}
+    cur = 1
+    for f in factors:
+        step = f // cur
+        state = (
+            state.groupBy(
+                "band",
+                F.expr(f"row DIV {step}").cast("int").alias("row"),
+                F.expr(f"col DIV {step}").cast("int").alias("col"),
+            )
+            .agg(
+                F.sum("s").alias("s"),
+                F.sum("ss").alias("ss"),
+                F.sum("c").alias("c"),
+                F.min("mn").alias("mn"),
+                F.max("mx").alias("mx"),
+            )
+        )
+        # each level's state feeds both its own output and the next
+        # level: persist it (shrinks ~step^2 per level) so executing
+        # level k never re-runs the chain from the base scan
+        state = scoped_persist(state)
+        cur = f
+        level = state.select(
+            "band",
+            "row",
+            "col",
+            F.round(F.col("s") / F.col("c"), 6).alias("avg_v"),
+            F.col("mn").alias("min_v"),
+            F.col("mx").alias("max_v"),
+            F.round(F.col("s"), 6).alias("sum_v"),
+            F.col("c").cast("double").alias("cnt_v"),
+            F.round(F.sqrt(F.col("ss") / F.col("c")), 6).alias("rms_v"),
+        )
+        if out_dir is not None:
+            from rasterio_spark.plans.lineage import checkpointed_write
+
+            tiled = level.withColumn(
+                "tile_i", F.expr(f"row DIV {tile_height}").cast("int")
+            )
+            checkpointed_write(tiled, out_dir, f"{stage_prefix}_{f}", "tile_i")
+            # continue the cascade from the carried state, not the file
+            # (the write is a sink, not a barrier)
+        out[f] = level
+    return out
