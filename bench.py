@@ -227,6 +227,15 @@ def run_suite(
         timed("window_read_boundless", lambda: read_boundless(cells, Window(-8, -8, 1040, 600)).count())
         timed("merge_first", lambda: merge(layers, "first").count())
         timed("downsample_average", lambda: downsample(cells, 8, "average").count())
+
+        def _pyramid():
+            from rasterio_spark.operators.warp import build_pyramid
+
+            levels = build_pyramid(cells, [2, 4, 8])
+            for df in levels.values():
+                df.count()
+
+        timed("overview_pyramid", _pyramid)
         timed(
             "zonal_stats",
             lambda: zonal_stats(
