@@ -162,3 +162,16 @@ def test_normalize_feeds_operators():
     assert normalize_crs(26911) == "EPSG:26911"
     with pytest.raises(ValueError, match="unsupported CRS pair"):
         transform_points("EPSG:26911", "EPSG:3857", np.array([0.0]), np.array([0.0]))
+
+
+def test_epsg_roundtrip_property():
+    """from_string(from_epsg(n)) is the identity for any valid code."""
+    from hypothesis import given, strategies as st
+
+    @given(st.integers(min_value=1, max_value=2**31 - 1))
+    def check(n):
+        s = from_epsg(n)
+        assert from_string(s) == s == f"EPSG:{n}"
+        assert to_epsg(s) == n
+
+    check()

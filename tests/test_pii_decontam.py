@@ -118,3 +118,15 @@ def test_decontaminate_min_hits(spark, contam_tables):
         for r in decontaminate(docs, ev, n=8, min_hits=2).select("doc_id").collect()
     )
     assert 3 in kept and 7 not in kept
+
+
+def test_redact_pii_idempotent(spark):
+    """redact(redact(x)) == redact(x): placeholder tokens contain no
+    digits or @, so a second pass never rewrites them."""
+    from rasterio_spark.functions.text import redact_pii
+
+    docs = spark.createDataFrame(PII_DOCS, "doc_id long, text string")
+    once = redact_pii(docs, out_col="r1")
+    twice = redact_pii(once, text_col="r1", out_col="r2")
+    rows = twice.select("r1", "r2").collect()
+    assert all(r["r1"] == r["r2"] for r in rows)
