@@ -46,6 +46,12 @@ def get_session(
         .config("spark.driver.memory", os.environ.get("SPARK_DRIVER_MEMORY", "16g"))
         .config("spark.ui.enabled", "false")
         .config("spark.sql.autoBroadcastJoinThreshold", str(64 * 1024 * 1024))
+        # catalog tables (sources/bucketed.py) — keep the warehouse out
+        # of whatever cwd the driver happens to run from
+        .config(
+            "spark.sql.warehouse.dir",
+            os.environ.get("SPARK_WAREHOUSE_DIR", "/tmp/rasterio_spark_warehouse"),
+        )
         .config("spark.executorEnv.PYTHONPATH", worker_pp)
     )
     for k, v in (extra_conf or {}).items():
