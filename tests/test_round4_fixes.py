@@ -477,6 +477,40 @@ def test_build_pyramid_resumable_write(spark, tmp_path):
     assert L is not None
 
 
+def test_zonal_stats_percentiles(spark):
+    """percentiles=(0.5, 0.9) adds exact p50/p90 in the same shuffle;
+    values match numpy's linear-interpolation percentile (Spark's
+    percentile()) per zone, and the base columns are unchanged."""
+    import numpy as np
+
+    from rasterio_spark.operators.stats import zonal_stats
+
+    cells = spark.createDataFrame(
+        [(1, r, c, float(r * 10 + c), True) for r in range(10) for c in range(10)],
+        "band int, row int, col int, value double, valid boolean",
+    )
+    shapes = [
+        {"type": "Polygon", "coordinates": [[(0, 0), (0, 5), (5, 5), (5, 0), (0, 0)]]},
+        {"type": "Polygon", "coordinates": [[(5, 5), (5, 10), (10, 10), (10, 5), (5, 5)]]},
+    ]
+    out = {
+        r["shape_id"]: r
+        for r in zonal_stats(cells, shapes, (10, 10), percentiles=(0.5, 0.9)).collect()
+    }
+    base = {
+        r["shape_id"]: r for r in zonal_stats(cells, shapes, (10, 10)).collect()
+    }
+    # recompute zone cell sets directly from the cover rule (cell center in box)
+    for sid, lo, hi in ((0, 0, 5), (1, 5, 10)):
+        vals = np.array([
+            float(r * 10 + c) for r in range(lo, hi) for c in range(lo, hi)
+        ])
+        assert abs(out[sid]["p50"] - round(float(np.percentile(vals, 50)), 6)) < 1e-9
+        assert abs(out[sid]["p90"] - round(float(np.percentile(vals, 90)), 6)) < 1e-9
+        assert out[sid]["vmean"] == base[sid]["vmean"]
+        assert out[sid]["n_cells"] == base[sid]["n_cells"] == (hi - lo) ** 2
+
+
 def test_make_rowcol_udf_rotated_transform(spark):
     """The generic affine UDF (rotated-transform fallback the JVM
     expression path can't express) must match the driver-side
