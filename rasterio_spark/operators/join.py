@@ -750,7 +750,13 @@ def sample_points(
 ) -> DataFrame:
     """Point probe: nearest-cell values per (x, y); misses -> nodata
     (reference sample.py:44-99: out-of-bounds yields the nodata vector).
-    Broadcast equi-join on (row, col)."""
+
+    Plan: broadcast INNER join of the cell table against the (tiny)
+    point set — one shuffle-free scan — then a left join of the point
+    list against those O(points) hit rows fills misses with nodata.
+    (A broadcast hint on the PRESERVED side of a left join is
+    unsupported — Spark would drop it and sort-merge-shuffle the whole
+    cell table.)"""
     from rasterio_spark.functions.cell_exprs import affine_rowcol_cols
 
     spark = cells.sparkSession
@@ -758,11 +764,15 @@ def sample_points(
     row, col = affine_rowcol_cols(F.col("x"), F.col("y"), transform)
     pts = pts.withColumn("row", row).withColumn("col", col)
     data = cells if bands is None else cells.where(F.col("band").isin(bands))
-    joined = F.broadcast(pts).join(data, ["row", "col"], "left")
-    return joined.select(
+    matched = data.join(F.broadcast(pts), ["row", "col"]).select(
+        "pt_id",
+        "band",
+        F.coalesce(F.when(F.col("valid"), F.col("value")), F.lit(nodata)).alias("value"),
+    )
+    return pts.select("pt_id").join(matched, "pt_id", "left").select(
         "pt_id",
         F.coalesce("band", F.lit(1)).alias("band"),
-        F.coalesce(F.when(F.col("valid"), F.col("value")), F.lit(nodata)).alias("value"),
+        F.coalesce("value", F.lit(nodata)).alias("value"),
     )
 
 
