@@ -175,3 +175,36 @@ def test_epsg_roundtrip_property():
         assert to_epsg(s) == n
 
     check()
+
+
+def test_none_crs_rejected_everywhere():
+    """Ported reference test_warp.py:176-227 (None src/dst CRS raises
+    CRSError) over the engine's transform surface."""
+    from rasterio_spark.grid.crs import transform_bounds, transform_geom
+
+    pt = {"type": "Point", "coordinates": [1.0, 1.0]}
+    for src, dst in ((None, "EPSG:4326"), ("EPSG:4326", None)):
+        with pytest.raises(CRSError):
+            transform_points(src, dst, [1.0], [1.0])
+        with pytest.raises(CRSError):
+            transform_bounds(src, dst, 0, 0, 1, 1)
+        with pytest.raises(CRSError):
+            transform_geom(src, dst, pt)
+
+
+def test_transform_bounds_same_crs_no_change():
+    """Ported reference test_transform_bounds_no_change."""
+    import numpy as np
+
+    from rasterio_spark.grid.crs import transform_bounds
+
+    b = (-78.95864996545055, 23.564991210854686, -76.57492370013823, 25.550873767433984)
+    assert np.allclose(transform_bounds("EPSG:4326", "EPSG:4326", *b), b)
+
+
+def test_transform_bounds_negative_densify_rejected():
+    """Ported reference test_transform_bounds_densify_out_of_bounds."""
+    from rasterio_spark.grid.crs import transform_bounds
+
+    with pytest.raises(ValueError):
+        transform_bounds("EPSG:4326", "EPSG:3857", -120, 40, -80, 64, densify_pts=-10)
