@@ -540,6 +540,50 @@ def test_make_rowcol_udf_rotated_transform(spark):
         assert got[(x, y)] == (rr, cc)
 
 
+def test_resize_images_plumbing(spark):
+    """resize plumbing: deterministic output dims/pixel counts, values
+    stable across runs, block-mean preserves the global mean of the
+    fake decode (exact for block-aligned shapes)."""
+    import numpy as np
+
+    from rasterio_spark.operators.multimodal import resize_images
+
+    blobs = [("a", b"x" * 100), ("b", b"y" * 3000), ("c", None)]
+    df = spark.createDataFrame(blobs, "url string, content binary")
+    out1 = {r["url"]: r for r in resize_images(df, (16, 16)).collect()}
+    out2 = {r["url"]: r for r in resize_images(df, (16, 16)).collect()}
+    for u in ("a", "b", "c"):
+        assert (out1[u]["height"], out1[u]["width"]) == (16, 16)
+        assert len(out1[u]["pixels"]) == 256
+        assert out1[u]["pixels"] == out2[u]["pixels"]  # deterministic
+        assert all(0.0 <= p <= 255.0 for p in out1[u]["pixels"])
+    assert out1["a"]["pixels"] != out1["b"]["pixels"]
+
+
+def test_audio_chunk_features_plumbing(spark):
+    """audio chunking: one row per chunk_ms window (count from blob
+    size), vectorized assembly, deterministic per-chunk features."""
+    from rasterio_spark.operators.multimodal import audio_chunk_features, decode_audio
+
+    import pytest
+
+    with pytest.raises(NotImplementedError, match="audio codecs"):
+        decode_audio(b"RIFF")
+
+    # 1000 ms * 32 B/ms = 32000 B per chunk: 80k bytes -> 3 chunks
+    df = spark.createDataFrame(
+        [("a", b"z" * 80_000), ("b", b"q" * 10), ("c", None)],
+        "url string, content binary",
+    )
+    out = audio_chunk_features(df).groupBy("url").count().collect()
+    counts = {r["url"]: r["count"] for r in out}
+    assert counts == {"a": 3, "b": 1, "c": 1}
+    rows = audio_chunk_features(df).where("url = 'a'").orderBy("chunk_idx").collect()
+    assert [r["chunk_idx"] for r in rows] == [0, 1, 2]
+    assert all(len(r["feat"]) == 8 and r["chunk_ms"] == 1000 for r in rows)
+    assert rows[0]["feat"] != rows[1]["feat"]  # chunk index enters the feature
+
+
 def test_multimodal_decode_stub_and_descriptors():
     import pytest
 
