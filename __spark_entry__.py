@@ -559,9 +559,9 @@ def q_fillnodata(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 def q_shapes_summary(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Connected components over a thresholded layer — rows-only check
-    (iterative CC is not ANSI-SQL-expressible; exactness is covered by
-    the pytest fixtures ported from the reference)."""
+    """Connected components over a thresholded layer — full value
+    oracle: the DuckDB twin labels components with a recursive CTE
+    (min-label fixpoint), hash-matching the distributed union-find."""
     from rasterio_spark.operators.shapes import shapes_summary
 
     cells = _cells(spark, sf_dir).withColumn("value", (F.col("value") > 128).cast("double"))
@@ -569,7 +569,9 @@ def q_shapes_summary(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 def q_sieve(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Sieve small regions — rows-only check (see q_shapes_summary)."""
+    """Sieve small regions (longest_border mode) — full value oracle:
+    sieve_sql runs the same neighbor-vote rule over the recursive-CTE
+    component labels in DuckDB; hash-match."""
     from rasterio_spark.operators.shapes import sieve
 
     cells = _cells(spark, sf_dir).withColumn("value", (F.col("value") > 128).cast("double"))
