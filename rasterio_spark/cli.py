@@ -272,10 +272,19 @@ def main(argv: list[str] | None = None) -> int:
         factors = [int(x) for x in args.factors.split(",")]
         method = args.method if args.method != "first" else "average"
         if args.cascade:
-            col = {
+            cascade_cols = {
                 "average": "avg_v", "min": "min_v", "max": "max_v",
                 "sum": "sum_v", "count": "cnt_v", "rms": "rms_v",
-            }[method]
+            }
+            if method not in cascade_cols:
+                print(
+                    f"overview --cascade: method {method!r} is not cascadable; "
+                    f"supported: {sorted(cascade_cols)} (drop --cascade for "
+                    "med/q1/q3/mode/gauss)",
+                    file=sys.stderr,
+                )
+                return 2
+            col = cascade_cols[method]
             levels = build_pyramid(spark.read.parquet(args.input), factors)
             parts = [
                 df.select(

@@ -145,10 +145,18 @@ def from_wkt(wkt: str) -> str:
     s = wkt.strip()
     if not s.endswith("]"):
         raise CRSError(f"The WKT could not be parsed: {wkt!r}")
-    codes = _WKT_AUTH_RE.findall(s)
-    if codes:
-        # the dataset-level authority is the LAST clause in WKT
-        return from_epsg(codes[-1])
+    # Only the DATASET-LEVEL authority identifies the CRS: in WKT it is
+    # the root node's last sub-clause, so the match must be followed by
+    # nothing but closing brackets. Inner clauses (UNIT/DATUM/SPHEROID
+    # authorities like EPSG:9001 metre) must NOT be mistaken for it —
+    # a projected CRS with a stripped top-level authority should error,
+    # not silently normalize to its unit or base-geographic code.
+    matches = list(_WKT_AUTH_RE.finditer(s))
+    if matches:
+        last = matches[-1]
+        trailing = s[last.end():].replace(" ", "")
+        if trailing and set(trailing) <= {"]"}:
+            return from_epsg(last.group(1))
     head = s.split("[", 1)[0].upper()
     name = s.split('"', 2)[1] if '"' in s else ""
     if head in ("GEOGCS", "GEOGCRS") and name.upper().replace(" ", "") in ("WGS84", "WGS_1984"):
@@ -172,8 +180,10 @@ def from_string(value: str) -> str:
     if not value:
         raise CRSError(f"CRS is empty or invalid: {value!r}")
     if value.upper().startswith("EPSG:") and "+" not in value:
-        _, _, code = value.partition(":")
-        if not code:
+        # accept both "EPSG:n" and the authority form "EPSG::n"
+        parts = value.split(":")
+        code = parts[-1]
+        if not code or any(p for p in parts[1:-1]):
             raise CRSError(f"Invalid CRS: {value!r}")
         return from_epsg(code)
     if value.startswith("{") or value.startswith("["):
@@ -183,6 +193,8 @@ def from_string(value: str) -> str:
             raise CRSError("CRS appears to be JSON but is not valid")
         if not val:
             raise CRSError("CRS is empty JSON")
+        if not isinstance(val, dict):
+            raise CRSError(f"CRS JSON must be an object of PROJ params: {value!r}")
         return from_dict(val)
     if value.endswith("]"):
         return from_wkt(value)
@@ -193,11 +205,8 @@ def from_string(value: str) -> str:
         return "EPSG:4326"
     if up in ("WEBMERCATOR", "EPSG:900913"):
         return "EPSG:3857"
-    m = up
-    if m.startswith("URN:OGC:DEF:CRS:EPSG:"):
-        return from_epsg(m.rsplit(":", 1)[-1])
-    if m.startswith("EPSG::"):
-        return from_epsg(m.rsplit(":", 1)[-1])
+    if up.startswith("URN:OGC:DEF:CRS:EPSG:"):
+        return from_epsg(up.rsplit(":", 1)[-1])
     raise CRSError(f"CRS is invalid: {value!r}")
 
 

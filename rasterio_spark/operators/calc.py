@@ -149,7 +149,10 @@ def calc(
     if expression.lstrip().startswith("("):
         expression = snuggs_to_sql(expression)
     if bands is None:
-        bands = sorted({int(m) for m in re.findall(r"\bb(\d+)\b", expression)})
+        # case-insensitive: Spark SQL resolves B1/b1 identically. A
+        # b<N> token inside a string literal would be inferred too —
+        # pass bands= explicitly for expressions like that.
+        bands = sorted({int(m) for m in re.findall(r"\b[bB](\d+)\b", expression)})
         if not bands:
             raise ValueError(
                 "calc: expression references no b<N> bands; pass bands= "

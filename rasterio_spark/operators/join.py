@@ -113,7 +113,9 @@ def _polygon_cover_distributed(spark, polygons: list[dict], res: int, batch_rows
     import json as _json
 
     rows = [
-        (int(p["polygon_id"]), float(p["value"]), _json.dumps(p["geom"]))
+        # default=list: ring coordinates may be numpy arrays/floats —
+        # the same shape the layer-cache keys serialize
+        (int(p["polygon_id"]), float(p["value"]), _json.dumps(p["geom"], default=list))
         for p in polygons
     ]
     n_part = max(

@@ -53,6 +53,11 @@ def extract_image_features(
     (PIL/turbojpeg) without touching the plan.
     """
 
+    if not 1 <= dim <= 8:
+        raise ValueError(
+            f"dim must be in 1..8 (sha256 stub yields 8 u32 words); got {dim}"
+        )
+
     def _fake_decode(blob: bytes) -> np.ndarray:
         h = hashlib.sha256(blob or b"").digest()
         return np.frombuffer(h[: dim * 4], dtype="<u4").astype("float64") / 2**32
@@ -197,6 +202,10 @@ def audio_chunk_features(
     the per-chunk feature is the sha256 fake standing in for a real
     frontend (fbank/spectrogram). Row assembly is vectorized
     (repeat/concatenate), same pattern as frame_sample."""
+    if not 1 <= dim <= 8:
+        raise ValueError(
+            f"dim must be in 1..8 (sha256 stub yields 8 u32 words); got {dim}"
+        )
     chunk_bytes = max(1, chunk_ms * bytes_per_ms)
 
     def run(batches):

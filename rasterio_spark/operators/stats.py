@@ -112,8 +112,10 @@ def zonal_stats(
             F.round(F.sum("value"), 6).alias("vsum"),
             F.round(F.avg("value"), 6).alias("vmean"),
             *[
+                # alias keeps fractional percents distinct: 0.5 -> p50,
+                # 0.125 -> p12_5 (int truncation would collide nearby qs)
                 F.round(F.expr(f"percentile(value, {q})"), 6).alias(
-                    f"p{int(round(q * 100))}"
+                    "p" + ("%g" % (q * 100)).replace(".", "_")
                 )
                 for q in percentiles
             ],

@@ -4,10 +4,26 @@ BENCH_r03 showed a sub-2x regression cluster vs BENCH_r02
 (downsample_average +26%, cell_histogram +13%, knn +11%, merge_first
 +11%, pip_join_sort_merge +8%) that ROUND_NOTES attributed to host
 phases. This tool decides: each cycle probes the host (numpy), then
-times ONLY those queries in a fresh bench subprocess (best of
-BENCH_REPEATS passes each — steady-state, first pass pays JIT), then
-probes again. Cycles append to BENCH/regression_pin.jsonl; the report
+times ONLY those queries in a fresh bench subprocess, then probes
+again. Cycles append to BENCH/regression_pin.jsonl; the report
 compares calm-cycle minima against the r2/r3 artifacts.
+
+Protocol notes (review finding, r4). The rN artifacts are single-shot
+timings taken INSIDE a warm full-suite run, so neither subset mode
+here is 1:1 comparable with them:
+- repeats>=2 (steady-state minima) removes JIT the artifacts paid —
+  a LOWER bound on operator cost;
+- repeats=1 subset cycles OVERWEIGHT JIT: the first selected query
+  absorbs the session warm-up the full suite amortizes into the
+  headline/earlier queries (measured: cell_histogram 4.35 s as the
+  subset's first query vs 1.20 s inside a full suite on the same
+  tree minutes apart).
+The artifact-comparable protocol is a FULL `python bench.py` rerun;
+this round's full-suite self-checks are stored as
+BENCH/selfcheck_r4_run*.json (60.5 s / 61.1 s calm, 71.3 s in a
+degraded phase — per-query 0.79-1.08x of BENCH_r03 on the calm
+runs). Subset cycles remain useful for RELATIVE claims across calm
+windows; the report labels each pool by protocol.
 
 Usage:
     python tools/bench_pin.py [cycles]      # default 3
@@ -43,10 +59,11 @@ def host_probe(reps: int = 3) -> float:
 
 def cycle(c: int) -> dict:
     p0 = host_probe()
+    repeats = os.environ.get("BENCH_PIN_REPEATS", "1")
     env = dict(
         os.environ,
         BENCH_ONLY=",".join(QUERIES),
-        BENCH_REPEATS="3",
+        BENCH_REPEATS=repeats,
     )
     out = subprocess.run(
         [sys.executable, os.path.join(REPO, "bench.py"), "--suite-only"],
@@ -61,6 +78,7 @@ def cycle(c: int) -> dict:
     p1 = host_probe()
     rec = {
         "cycle": c,
+        "repeats": int(repeats),
         "probe_before": round(p0, 3),
         "probe_after": round(p1, 3),
         "queries": r["queries"],
@@ -75,12 +93,24 @@ def cycle(c: int) -> dict:
 
 def report() -> None:
     recs = [json.loads(l) for l in open(LOG)]
-    calm = [r for r in recs if max(r["probe_before"], r["probe_after"]) <= 0.05]
-    pool = calm if calm else recs
-    pinned = {
-        q: min(r["queries"][q] for r in pool if q in r["queries"]) for q in QUERIES
-    }
-    out = {"cycles": len(recs), "calm_cycles": len(calm), "pinned_min": pinned}
+    out = {"cycles": len(recs)}
+    for proto, match in (("single_shot", lambda r: r.get("repeats", 3) == 1),
+                         ("steady_state", lambda r: r.get("repeats", 3) > 1)):
+        sub = [r for r in recs if match(r)]
+        if not sub:
+            continue
+        calm = [r for r in sub if max(r["probe_before"], r["probe_after"]) <= 0.05]
+        pool = calm if calm else sub
+        out[proto] = {
+            "cycles": len(sub),
+            "calm_cycles": len(calm),
+            "pinned_min": {
+                q: min(r["queries"][q] for r in pool if q in r["queries"])
+                for q in QUERIES
+            },
+        }
+    # artifact-comparable ratios use the single-shot protocol only
+    pinned = (out.get("single_shot") or out.get("steady_state"))["pinned_min"]
     for tag in ("r02", "r03"):
         path = os.path.join(REPO, f"BENCH_{tag}.json")
         if os.path.exists(path):
