@@ -208,3 +208,39 @@ def test_transform_bounds_negative_densify_rejected():
 
     with pytest.raises(ValueError):
         transform_bounds("EPSG:4326", "EPSG:3857", -120, 40, -80, 64, densify_pts=-10)
+
+
+def test_from_wkt_inner_authority_not_trusted():
+    """Review fix r4: inner UNIT/DATUM authority clauses must not
+    identify the CRS when the dataset-level authority is absent —
+    better to error than to normalize a projected CRS to its unit code
+    or base-geographic code."""
+    stripped = (
+        'PROJCS["Custom Grid",GEOGCS["WGS 84",DATUM["WGS_1984",'
+        'SPHEROID["WGS 84",6378137,298.257223563]],'
+        'UNIT["degree",0.0174532925199433,AUTHORITY["EPSG","9122"]]],'
+        'PROJECTION["Lambert_Conformal_Conic_2SP"],'
+        'UNIT["metre",1,AUTHORITY["EPSG","9001"]]],EXTRA["x"]'
+    )
+    with pytest.raises(CRSError):
+        from_wkt(stripped + "]")
+    # but a true dataset-level trailing authority still resolves
+    assert from_wkt(WGS84_WKT1) == "EPSG:4326"
+
+
+def test_epsg_double_colon_form():
+    """Review fix r4: the authority form EPSG::n is accepted (the old
+    handler was unreachable); junk between colons still errors."""
+    assert from_string("EPSG::4326") == "EPSG:4326"
+    assert from_user_input("epsg::3857") == "EPSG:3857"
+    with pytest.raises(CRSError):
+        from_string("EPSG:x:4326")
+
+
+def test_json_array_string_raises_crserror():
+    """Review fix r4: a JSON array parses but is not a PROJ dict —
+    CRSError, not TypeError (normalize_crs's lenient fallback relies
+    on catching CRSError only)."""
+    with pytest.raises(CRSError, match="object of PROJ params"):
+        from_string("[1, 2]")
+    assert normalize_crs("[1, 2]") == "[1,2]"  # lenient pass-through survives

@@ -607,3 +607,42 @@ def test_cli_rm_deletes_layer_table(tmp_path):
     r = _run_cli("rm", "--input", str(layer))
     assert r.returncode == 0, r.stderr
     assert not layer.exists()
+
+
+def test_review_fixes_misc(spark):
+    """Review fixes r4: calc case-insensitive band refs; multimodal dim
+    validation; cascade CLI clean error; zonal fractional-percentile
+    aliases distinct."""
+    import pytest
+
+    from rasterio_spark.operators.calc import calc
+    from rasterio_spark.operators.multimodal import (
+        audio_chunk_features,
+        extract_image_features,
+    )
+    from rasterio_spark.operators.stats import zonal_stats
+
+    cells = spark.createDataFrame(
+        [(1, 0, c, float(c), True) for c in range(4)]
+        + [(2, 0, c, float(c * 2), True) for c in range(4)],
+        "band int, row int, col int, value double, valid boolean",
+    )
+    upper = calc(cells, "B1 + B2").orderBy("col").collect()
+    lower = calc(cells, "b1 + b2").orderBy("col").collect()
+    assert [r["value"] for r in upper] == [r["value"] for r in lower]
+
+    blobs = spark.createDataFrame([("a", b"x")], "url string, content binary")
+    with pytest.raises(ValueError, match="dim must be in 1..8"):
+        extract_image_features(blobs, dim=16)
+    with pytest.raises(ValueError, match="dim must be in 1..8"):
+        audio_chunk_features(blobs, dim=9)
+
+    from rasterio_spark import cli
+
+    assert cli.main([
+        "overview", "--input", "/nonexistent", "--cascade", "--method", "med",
+    ]) == 2  # clean error before any read
+
+    shapes = [{"type": "Polygon", "coordinates": [[(0, 0), (0, 4), (4, 4), (4, 0), (0, 0)]]}]
+    z = zonal_stats(cells, shapes, (4, 4), percentiles=(0.12, 0.125))
+    assert "p12" in z.columns and "p12_5" in z.columns  # no collision
