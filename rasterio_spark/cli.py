@@ -128,8 +128,9 @@ def main(argv: list[str] | None = None) -> int:
         looks_like_layer = (
             os.path.exists(os.path.join(args.input, "_descriptor.json"))
             or os.path.exists(os.path.join(args.input, "_SUCCESS"))
-            or bool(glob.glob(os.path.join(args.input, "*.parquet")))
-            or bool(glob.glob(os.path.join(args.input, "*", "*.parquet")))
+            or bool(
+                glob.glob(os.path.join(args.input, "**", "*.parquet"), recursive=True)
+            )
         )
         if not looks_like_layer:
             print(

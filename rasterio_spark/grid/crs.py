@@ -154,7 +154,7 @@ def from_wkt(wkt: str) -> str:
     matches = list(_WKT_AUTH_RE.finditer(s))
     if matches:
         last = matches[-1]
-        trailing = s[last.end():].replace(" ", "")
+        trailing = re.sub(r"\s+", "", s[last.end():])
         if trailing and set(trailing) <= {"]"}:
             return from_epsg(last.group(1))
     head = s.split("[", 1)[0].upper()

@@ -184,10 +184,22 @@ def focal_filter(
             F.col("o.w").alias("w"),
         )
     )
+    if normalize and abs(sum(w for _, _, w in contribs)) < 1e-12:
+        # a zero-sum kernel (e.g. a difference/edge kernel) normalizes
+        # to 0/0 everywhere — reject up front rather than emit NULLs
+        raise ValueError("normalize=True requires a kernel with nonzero weight sum")
     agg = scattered.groupBy("band", "row", "col").agg(
         F.sum("wv").alias("_s"), F.sum("w").alias("_wsum")
     )
-    value = F.col("_s") / F.col("_wsum") if normalize else F.col("_s")
+    if normalize:
+        # edge cells can still see a zero contributor-weight sum even
+        # for a nonzero-sum kernel (only the cancelling taps landed);
+        # those cells have no defined normalized value — drop them so
+        # valid=TRUE never rides with value=NULL
+        agg = agg.where(F.col("_wsum") != 0)
+        value = F.col("_s") / F.col("_wsum")
+    else:
+        value = F.col("_s")
     return agg.select(
         "band", "row", "col", F.round(value, 6).alias("value"), F.lit(True).alias("valid")
     )
@@ -207,10 +219,12 @@ def focal_filter_sql(
         if k[i][j] != 0.0
     )
     val = "sum(value * w) / sum(w)" if normalize else "sum(value * w)"
+    having = "HAVING sum(w) <> 0" if normalize else ""
     return f"""
         SELECT band, row + dr AS row, col + dc AS col,
                round({val}, 6) AS value, TRUE AS valid
         FROM {cells_cte}, (VALUES {rows}) AS k(dr, dc, w)
         WHERE valid
         GROUP BY 1, 2, 3
+        {having}
     """

@@ -112,10 +112,14 @@ def _polygon_cover_distributed(spark, polygons: list[dict], res: int, batch_rows
     result is a DataFrame with the cover's exact schema."""
     import json as _json
 
+    def _np_default(o):
+        # ring coordinates may be numpy arrays OR numpy scalars
+        # (np.float32/np.int64 aren't iterable, so plain default=list
+        # would raise); tolist() covers both
+        return o.tolist() if hasattr(o, "tolist") else list(o)
+
     rows = [
-        # default=list: ring coordinates may be numpy arrays/floats —
-        # the same shape the layer-cache keys serialize
-        (int(p["polygon_id"]), float(p["value"]), _json.dumps(p["geom"], default=list))
+        (int(p["polygon_id"]), float(p["value"]), _json.dumps(p["geom"], default=_np_default))
         for p in polygons
     ]
     n_part = max(
@@ -146,7 +150,7 @@ def _polygon_cover_distributed(spark, polygons: list[dict], res: int, batch_rows
     )
 
 
-def _cover_arrays(spark, polygons: list[dict], cover_res: int) -> dict:
+def _cover_arrays(spark, polygons: list[dict], cover_res: int, prepared=None) -> dict:
     """Worker-resident cover index for strategy='probe': the cover
     table as sorted flat numpy arrays (unique cells + per-cell slices
     of (polygon_id, interior, value)), shipped via a Python broadcast —
@@ -174,7 +178,7 @@ def _cover_arrays(spark, polygons: list[dict], cover_res: int) -> dict:
         # cover (bounded by the 2M-cell cap upstream) into the index
         pdf = _polygon_cover_distributed(spark, polygons, cover_res).toPandas()
     else:
-        entries, rings_by_id = prepare_layer(polygons)
+        entries, rings_by_id = prepared if prepared is not None else prepare_layer(polygons)
         pdf = _polygon_cover(entries, cover_res, rings_by_id)
     order = np.argsort(pdf["cell_id"].values, kind="stable")
     cells = pdf["cell_id"].values[order]
@@ -203,7 +207,7 @@ def _coarse_prefilter_cells(cover_cells: np.ndarray, cover_res: int, max_lit: in
     return 0, np.unique(C.cell_id_from_rowcol(rows, cols, 0))
 
 
-def _layer_index(spark, polygons: list[dict], cover_res: int | None):
+def _layer_index(spark, polygons: list[dict], cover_res: int | None, prepared=None):
     """Driver-side layer index (entries, rings, flat broadcast, cover
     DF) — built once per (layer, resolution) and memoized: this is the
     'open the polygon layer' step a real deployment does once and
@@ -233,7 +237,7 @@ def _layer_index(spark, polygons: list[dict], cover_res: int | None):
         return hit
     from rasterio_spark.grid.geometry import FlatPolygons
 
-    entries, rings_by_id = prepare_layer(polygons)
+    entries, rings_by_id = prepared if prepared is not None else prepare_layer(polygons)
     bcast = spark.sparkContext.broadcast(FlatPolygons(rings_by_id))
     cover = None
     if cover_res is not None:
@@ -290,33 +294,32 @@ def pip_join(
     spark = pages.sparkSession
     tiled = tile_pages(pages, res=res, skew=skew, geocode=geocode)
 
-    if strategy == "auto":
-        probe_entries, _ = prepare_layer(polygons)
-        ny, nx = C.grid_shape(res)
-        est_at_res = sum(
+    # ONE serial prepare per invocation (r4 verdict: the auto estimate,
+    # the cover-res cap loop, and _layer_index each re-prepared the
+    # layer — three O(polygons) driver passes before any work started).
+    # Prepared entries thread through every consumer below.
+    prepared = prepare_layer(polygons)
+    probe_entries = prepared[0]
+
+    def _bbox_cells_at(r_est: int) -> int:
+        ny, nx = C.grid_shape(r_est)
+        return sum(
             max(1, int((r - l) / (C.LON_SPAN / nx)) + 1)
             * max(1, int((t - b) / (C.LAT_SPAN / ny)) + 1)
             for _, _, (l, b, r, t) in probe_entries
         )
-        strategy = "rtree" if est_at_res > 2_000_000 else "broadcast"
+
+    if strategy == "auto":
+        strategy = "rtree" if _bbox_cells_at(res) > 2_000_000 else "broadcast"
 
     if strategy != "rtree" and cover_res is None:
         cover_res = res + 3
         # cap the cover size: total bbox area in cells at cover_res
-        probe_entries, _ = prepare_layer(polygons)
-        while cover_res > res:
-            ny, nx = C.grid_shape(cover_res)
-            est = sum(
-                max(1, int((r - l) / (C.LON_SPAN / nx)) + 1)
-                * max(1, int((t - b) / (C.LAT_SPAN / ny)) + 1)
-                for _, _, (l, b, r, t) in probe_entries
-            )
-            if est <= 2_000_000:
-                break
+        while cover_res > res and _bbox_cells_at(cover_res) > 2_000_000:
             cover_res -= 1
 
     entries, rings_by_id, bcast, cover = _layer_index(
-        spark, polygons, None if strategy == "rtree" else cover_res
+        spark, polygons, None if strategy == "rtree" else cover_res, prepared=prepared
     )
 
     if strategy == "rtree":
@@ -367,8 +370,10 @@ def pip_join(
         # keeps 8->32-core scaling at the host ceiling (BENCH r2).
         from rasterio_spark.functions import cell_exprs as CE
 
-        entries, rings_by_id, bcast, _ = _layer_index(spark, polygons, None)
-        cov = _cover_arrays(spark, polygons, cover_res)
+        entries, rings_by_id, bcast, _ = _layer_index(
+            spark, polygons, None, prepared=prepared
+        )
+        cov = _cover_arrays(spark, polygons, cover_res, prepared=prepared)
         pre_res, pre_cells = _coarse_prefilter_cells(cov["cells"], cover_res)
         pre_col = CE.encode_cols(F.col("lon"), F.col("lat"), pre_res)
         # blob columns (html/text) never enter the Python stage: a
@@ -596,6 +601,12 @@ def _knn_join_df(
     )
 
 
+# list inputs above this size silently get the distributed DF path —
+# the driver ring loop's per-band bookkeeping is fine for dozens of
+# query points but is a serial scale-killer at 10^5+ (r4 verdict #2)
+KNN_LIST_DF_THRESHOLD = 1000
+
+
 def knn_join(
     pages: DataFrame,
     queries: list[tuple[int, float, float]] | DataFrame,
@@ -621,6 +632,15 @@ def knn_join(
     """
     if isinstance(queries, DataFrame):
         return _knn_join_df(pages, queries, k, res, max_rings)
+    if len(queries) > KNN_LIST_DF_THRESHOLD:
+        # large list: the driver ring loop is O(queries) serial Python
+        # with per-band collects — route through the fully distributed
+        # DF path instead (identical results; see equivalence pytest)
+        qdf = pages.sparkSession.createDataFrame(
+            [(int(q), float(x), float(y)) for q, x, y in queries],
+            "query_id long, qlon double, qlat double",
+        )
+        return _knn_join_df(pages, qdf, k, res, max_rings)
     spark = pages.sparkSession
     ny, nx = C.grid_shape(res)
     cell_w = C.LON_SPAN / nx

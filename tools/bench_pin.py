@@ -105,19 +105,28 @@ def report() -> None:
             "cycles": len(sub),
             "calm_cycles": len(calm),
             "pinned_min": {
-                q: min(r["queries"][q] for r in pool if q in r["queries"])
+                q: min(
+                    (r["queries"][q] for r in pool if q in r["queries"]),
+                    default=None,
+                )
                 for q in QUERIES
             },
         }
     # artifact-comparable ratios use the single-shot protocol only
-    pinned = (out.get("single_shot") or out.get("steady_state"))["pinned_min"]
+    best = out.get("single_shot") or out.get("steady_state")
+    if best is None:
+        print(json.dumps({"cycles": 0, "note": "no cycles logged yet"}))
+        return
+    pinned = best["pinned_min"]
     for tag in ("r02", "r03"):
         path = os.path.join(REPO, f"BENCH_{tag}.json")
         if os.path.exists(path):
             doc = json.load(open(path))
             ref = (doc.get("parsed") or doc).get("queries", {})
             out[f"vs_{tag}"] = {
-                q: round(pinned[q] / ref[q], 3) for q in QUERIES if q in ref
+                q: round(pinned[q] / ref[q], 3)
+                for q in QUERIES
+                if q in ref and pinned.get(q) is not None
             }
     print(json.dumps(out, indent=2))
 
