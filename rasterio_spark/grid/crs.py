@@ -97,6 +97,20 @@ def from_dict(initialdata=None, **kwargs) -> str:
         if a == R and b == R:
             return "EPSG:3857"
         raise CRSError(f"unsupported mercator parameters {d!r} (engine ships EPSG:3857 only)")
+    if proj == "utm":
+        # +proj=utm +zone=N [+south] +datum=WGS84 -> EPSG:326xx/327xx
+        try:
+            zone = int(d["zone"])
+        except (KeyError, TypeError, ValueError):
+            raise CRSError(f"UTM dict needs an integer zone: {d!r}")
+        if not 1 <= zone <= 60:
+            raise CRSError(f"UTM zone out of range 1..60: {zone}")
+        datum = str(d.get("datum", "WGS84")).upper()
+        ellps = str(d.get("ellps", "WGS84")).upper()
+        if datum != "WGS84" or ("datum" not in d and ellps != "WGS84"):
+            raise CRSError(f"unsupported UTM datum {d!r} (engine ships WGS84 only)")
+        south = bool(d.get("south", False))
+        return f"EPSG:{(32700 if south else 32600) + zone}"
     raise CRSError(
         f"unsupported PROJ dict {d!r}: engine CRSs are EPSG-addressable "
         "(use init='epsg:n' or an EPSG string)"
@@ -251,22 +265,59 @@ def is_geographic(crs) -> bool:
     return normalize_crs(crs) == "EPSG:4326"
 
 
+def _utm_code(normalized: str) -> int | None:
+    """EPSG code if `normalized` is a UTM CRS (326xx/327xx), else None."""
+    from rasterio_spark.grid import utm
+
+    if not normalized.startswith("EPSG:"):
+        return None
+    try:
+        code = int(normalized.split(":", 1)[1])
+    except ValueError:
+        return None
+    return code if utm.is_utm(code) else None
+
+
 def transform_points(src_crs: str, dst_crs: str, xs, ys):
-    """Vectorized point transform between the supported CRS pair."""
+    """Vectorized point transform between supported CRSs: EPSG:4326,
+    EPSG:3857, and the UTM series EPSG:326xx/327xx (Karney/Krueger
+    transverse-Mercator, grid/utm.py). Arbitrary pairs compose through
+    geographic coordinates — the same hub-CRS pipeline PROJ builds."""
+    from rasterio_spark.grid import utm
+
     xs = np.asarray(xs, dtype="float64")
     ys = np.asarray(ys, dtype="float64")
     s, d = normalize_crs(src_crs), normalize_crs(dst_crs)
     if s == d:
         return xs, ys
-    if (s, d) == ("EPSG:4326", "EPSG:3857"):
-        x = xs * np.pi / 180.0 * R
-        y = np.log(np.tan(np.pi / 4.0 + ys * np.pi / 360.0)) * R
-        return x, y
-    if (s, d) == ("EPSG:3857", "EPSG:4326"):
+
+    # src -> geographic
+    if s == "EPSG:4326":
+        lon, lat = xs, ys
+    elif s == "EPSG:3857":
         lon = xs / R * 180.0 / np.pi
         lat = (2.0 * np.arctan(np.exp(ys / R)) - np.pi / 2.0) * 180.0 / np.pi
+    elif _utm_code(s) is not None:
+        lon, lat = utm.inverse(xs, ys, _utm_code(s))
+    else:
+        raise ValueError(
+            f"unsupported CRS pair {s} -> {d} "
+            "(engine ships EPSG:4326, EPSG:3857, and UTM EPSG:326xx/327xx)"
+        )
+
+    # geographic -> dst
+    if d == "EPSG:4326":
         return lon, lat
-    raise ValueError(f"unsupported CRS pair {s} -> {d} (engine ships EPSG:4326 <-> EPSG:3857)")
+    if d == "EPSG:3857":
+        x = lon * np.pi / 180.0 * R
+        y = np.log(np.tan(np.pi / 4.0 + lat * np.pi / 360.0)) * R
+        return x, y
+    if _utm_code(d) is not None:
+        return utm.forward(lon, lat, _utm_code(d))
+    raise ValueError(
+        f"unsupported CRS pair {s} -> {d} "
+        "(engine ships EPSG:4326, EPSG:3857, and UTM EPSG:326xx/327xx)"
+    )
 
 
 def transform_bounds(src_crs, dst_crs, left, bottom, right, top, densify_pts: int = 21):
@@ -283,7 +334,10 @@ def transform_bounds(src_crs, dst_crs, left, bottom, right, top, densify_pts: in
     ys = np.concatenate(
         [np.full(n, bottom), np.full(n, top), ys_edge, ys_edge]
     )
-    if normalize_crs(src_crs) == "EPSG:4326":
+    if normalize_crs(src_crs) == "EPSG:4326" and normalize_crs(dst_crs) == "EPSG:3857":
+        # web mercator is undefined at the poles; PROJ clips likewise.
+        # UTM targets keep the input latitudes (their series is defined
+        # pole-to-pole; the reference lets PROJ range-error instead).
         ys = np.clip(ys, -MERC_MAX_LAT, MERC_MAX_LAT)
     tx, ty = transform_points(src_crs, dst_crs, xs, ys)
     return float(tx.min()), float(ty.min()), float(tx.max()), float(ty.max())
@@ -454,3 +508,64 @@ def forward_3857_cols(lon, lat):
     x = lon * math.pi / 180.0 * R
     y = F.log(F.tan(math.pi / 4.0 + lat * math.pi / 360.0)) * R
     return x, y
+
+
+def transform_points_cols(src_crs, dst_crs, x, y):
+    """Spark Column twin of :func:`transform_points` — the reproject /
+    warp hot path stays JVM-side (whole-stage codegen, zero Python) for
+    every supported pair: 4326, 3857, UTM 326xx/327xx, composed through
+    geographic exactly like the NumPy form."""
+    import math
+
+    from pyspark.sql import functions as F
+
+    from rasterio_spark.grid import utm
+
+    s, d = normalize_crs(src_crs), normalize_crs(dst_crs)
+    if s == d:
+        return x, y
+
+    if s == "EPSG:4326":
+        lon, lat = x, y
+    elif s == "EPSG:3857":
+        lon = x / R * (180.0 / math.pi)
+        lat = (F.atan(F.exp(y / R)) * 2.0 - math.pi / 2.0) * (180.0 / math.pi)
+    elif _utm_code(s) is not None:
+        lon, lat = utm.inverse_cols(x, y, _utm_code(s))
+    else:
+        raise ValueError(f"unsupported CRS pair {s} -> {d}")
+
+    if d == "EPSG:4326":
+        return lon, lat
+    if d == "EPSG:3857":
+        return forward_3857_cols(lon, lat)
+    if _utm_code(d) is not None:
+        return utm.forward_cols(lon, lat, _utm_code(d))
+    raise ValueError(f"unsupported CRS pair {s} -> {d}")
+
+
+def transform_points_sql(src_crs, dst_crs, x_sql: str, y_sql: str) -> tuple[str, str]:
+    """DuckDB twin of :func:`transform_points` (oracle side)."""
+    s, d = normalize_crs(src_crs), normalize_crs(dst_crs)
+    if s == d:
+        return x_sql, y_sql
+
+    from rasterio_spark.grid import utm
+
+    if s == "EPSG:4326":
+        lon, lat = x_sql, y_sql
+    elif s == "EPSG:3857":
+        lon = f"(({x_sql}) / {R!r} * 180.0 / pi())"
+        lat = f"((2.0 * atan(exp(({y_sql}) / {R!r})) - pi() / 2.0) * 180.0 / pi())"
+    elif _utm_code(s) is not None:
+        lon, lat = utm.inverse_sql(x_sql, y_sql, _utm_code(s))
+    else:
+        raise ValueError(f"unsupported CRS pair {s} -> {d}")
+
+    if d == "EPSG:4326":
+        return lon, lat
+    if d == "EPSG:3857":
+        return forward_3857_sql(lon, lat)
+    if _utm_code(d) is not None:
+        return utm.forward_sql(lon, lat, _utm_code(d))
+    raise ValueError(f"unsupported CRS pair {s} -> {d}")

@@ -101,3 +101,39 @@ def rowcol_arrays(transform: Affine, xs: np.ndarray, ys: np.ndarray):
     t = guard_transform(transform)
     fcols, frows = t.reverse(xs, ys)
     return np.floor(frows).astype(np.int32), np.floor(fcols).astype(np.int32)
+
+
+def from_gcps(gcps) -> Affine:
+    """Affine from ground control points by least squares
+    (reference transform.py:312-326 from_gcps -> GDALGCPsToGeoTransform:
+    the bApproxOK=0 planar fit of (col, row) -> (x, y)).
+
+    Accepts GroundControlPoint-likes (``.row/.col/.x/.y``) or
+    (row, col, x, y) tuples. Three non-collinear GCPs give the exact
+    affine; more give the residual-minimizing fit. Collinear or
+    insufficient GCPs raise ValueError (the reference warns and may
+    return identity — a silent wrong answer we refuse to mirror).
+    """
+    pts = []
+    for g in gcps:
+        if hasattr(g, "row"):
+            pts.append((float(g.row), float(g.col), float(g.x), float(g.y)))
+        else:
+            r, c, x, y = g[:4]
+            pts.append((float(r), float(c), float(x), float(y)))
+    if len(pts) < 3:
+        raise ValueError("from_gcps needs at least 3 ground control points")
+    arr = np.asarray(pts, dtype="float64")
+    # design matrix over pixel coords; GDAL centers for conditioning
+    rows, cols = arr[:, 0], arr[:, 1]
+    design = np.stack([cols - cols.mean(), rows - rows.mean(), np.ones(len(pts))], axis=1)
+    if np.linalg.matrix_rank(design) < 3:
+        raise ValueError("ground control points are collinear")
+    sol_x, *_ = np.linalg.lstsq(design, arr[:, 2], rcond=None)
+    sol_y, *_ = np.linalg.lstsq(design, arr[:, 3], rcond=None)
+    a, b, cx = sol_x
+    d, e, fy = sol_y
+    # un-center the intercepts back to the (col=0, row=0) origin
+    c0 = cx - a * cols.mean() - b * rows.mean()
+    f0 = fy - d * cols.mean() - e * rows.mean()
+    return Affine(float(a), float(b), float(c0), float(d), float(e), float(f0))

@@ -71,10 +71,15 @@ def calculate_default_transform(
         h = max(1, int(math.ceil((dt - db) / yres)))
         return Affine.translation(dl, dt) * Affine.scale(xres, -yres), w, h
 
-    # default rule: keep pixel count along the dominant axis
-    res = max((dr - dl) / width, (dt - db) / height)
-    w = max(1, int(round((dr - dl) / res)))
-    h = max(1, int(round((dt - db) / res)))
+    # default rule (GDAL SuggestedWarpOutput, pinned by the reference
+    # golden tests/test_warp.py:333-352): pixel size preserves the
+    # UL->LR corner diagonal — transformed corner distance over the
+    # source pixel diagonal — then round the bbox spans to dims
+    ulx, uly = transform_points(src_crs, dst_crs, [left], [top])
+    lrx, lry = transform_points(src_crs, dst_crs, [right], [bottom])
+    res = float(np.hypot(lrx[0] - ulx[0], lry[0] - uly[0])) / math.hypot(width, height)
+    w = max(1, int((dr - dl) / res + 0.5))
+    h = max(1, int((dt - db) / res + 0.5))
     return Affine.translation(dl, dt) * Affine.scale(res, -res), w, h
 
 
@@ -106,10 +111,11 @@ def _dst_domain(spark, dst_width: int, dst_height: int) -> DataFrame:
 def _src_fractional_cols(dst_transform: Affine, src_transform: Affine, src_crs, dst_crs):
     """(src_col_frac, src_row_frac) Column expressions for a dst (row, col).
 
-    Same-CRS path is pure column arithmetic; the 4326<->3857 hop inlines
-    the mercator formulas as JVM expressions (still zero Python).
-    Requires axis-aligned transforms (the merge/warp operators refuse
-    rotation, like reference merge.py:302-313).
+    Same-CRS path is pure column arithmetic; CRS hops (4326, 3857, UTM
+    326xx/327xx — grid/crs.py transform_points_cols) inline as JVM
+    expressions (still zero Python). Requires axis-aligned transforms
+    (the merge/warp operators refuse rotation, like reference
+    merge.py:302-313).
     """
     a, b, c, d, e, f = dst_transform
     if b != 0 or d != 0:
@@ -122,19 +128,9 @@ def _src_fractional_cols(dst_transform: Affine, src_transform: Affine, src_crs, 
     y = F.lit(e) * (F.col("row") + 0.5) + F.lit(f)
 
     if not crs_equal(src_crs, dst_crs):
-        from rasterio_spark.grid.crs import R, normalize_crs
+        from rasterio_spark.grid.crs import transform_points_cols
 
-        pair = (normalize_crs(dst_crs), normalize_crs(src_crs))
-        if pair == ("EPSG:3857", "EPSG:4326"):
-            lon = x / R * (180.0 / math.pi)
-            lat = (F.atan(F.exp(y / R)) * 2.0 - math.pi / 2.0) * (180.0 / math.pi)
-            x, y = lon, lat
-        elif pair == ("EPSG:4326", "EPSG:3857"):
-            mx = x * (math.pi / 180.0) * R
-            my = F.log(F.tan(math.pi / 4.0 + y * (math.pi / 360.0))) * R
-            x, y = mx, my
-        else:
-            raise ValueError(f"unsupported CRS pair {pair}")
+        x, y = transform_points_cols(dst_crs, src_crs, x, y)
 
     col_f = (x - F.lit(sc)) / F.lit(sa)
     row_f = (y - F.lit(sf)) / F.lit(se)

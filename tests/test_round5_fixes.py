@@ -250,3 +250,46 @@ def test_bench_pin_report_empty_log(tmp_path, monkeypatch, capsys):
     bench_pin.report()  # must not raise
     out = json.loads(capsys.readouterr().out.strip().splitlines()[-1])
     assert out["cycles"] == 0
+
+
+# ------------------------------------------------- merge_min/max pin
+
+
+def test_merge_min_max_oracle_pin(spark):
+    """merge_min / merge_max were dropped from the 50-cap driver
+    registry in r5 (slots went to transform_points_32618 /
+    ivf_topk_pruned); this pin keeps them oracle-verified: engine ==
+    DuckDB merge_sql twin at sf0.001, sorted value compare."""
+    import duckdb
+
+    from rasterio_spark.operators.merge import merge, merge_sql
+    from rasterio_spark.sources.layers import (
+        source_layers_from_documents,
+        source_layers_sql,
+    )
+
+    sf_dir = "/root/testdata/sf0.001"
+    con = duckdb.connect()
+    con.sql(f"CREATE VIEW documents AS SELECT * FROM '{sf_dir}/documents.parquet'")
+    for method in ("min", "max"):
+        got = merge(source_layers_from_documents(spark, sf_dir), method=method).toPandas()
+        exp = con.sql(merge_sql(method, source_layers_sql())).df()
+        assert sorted(got.columns) == sorted(exp.columns), method
+        cols = sorted(got.columns)
+        g = got[cols].sort_values(cols, ignore_index=True)
+        e = exp[cols].sort_values(cols, ignore_index=True)
+        assert len(g) == len(e), method
+        for c in cols:
+            gv, ev = g[c].values, e[c].values
+            assert all(
+                (pd_isna(a) and pd_isna(b)) or a == b for a, b in zip(gv, ev)
+            ), (method, c)
+
+
+def pd_isna(v):
+    import pandas as pd
+
+    try:
+        return bool(pd.isna(v))
+    except (TypeError, ValueError):
+        return False

@@ -34,8 +34,10 @@ def test_mercator_roundtrip():
 
 
 def test_transform_points_unsupported():
+    # 32618 became a supported UTM code in round 5; NY state plane
+    # (Lambert conformal conic) stays out of the shipped surface
     with pytest.raises(ValueError):
-        transform_points("EPSG:4326", "EPSG:32618", [0.0], [0.0])
+        transform_points("EPSG:4326", "EPSG:2263", [0.0], [0.0])
 
 
 def test_transform_bounds_densification():
