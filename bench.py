@@ -224,6 +224,29 @@ def run_suite(
             ).count(),
         )
         timed("asof_latest", lambda: asof_latest(pages).count())
+
+        # bucketed layout on the bench path (r4 verdict item 4): the
+        # once-at-ingest shuffle. Setup (untimed, cached across runs in
+        # the warehouse): tile + bucketBy(32, cell_id) sortBy(cell_id,
+        # warc_ts). Timed: identical as-of semantics over the stored
+        # layout — the window's distribution is satisfied by bucketing,
+        # so the plan has ZERO Exchange (pytest-asserted in
+        # tests/test_bucketed.py); the delta vs `asof_latest` is what
+        # the ingest-time shuffle buys every downstream query.
+        if only is None or "asof_latest_bucketed" in only:
+            from rasterio_spark.operators.tile import tile_pages
+            from rasterio_spark.sources.bucketed import read_bucketed, write_bucketed
+
+            bt_name = f"bench_pages_bucketed_{n}"
+            if not spark.catalog.tableExists(bt_name):
+                write_bucketed(
+                    tile_pages(pages).select("url", "warc_ts", "lang", "cell_id"),
+                    bt_name,
+                    buckets=32,
+                )
+            bt = read_bucketed(spark, bt_name)
+            asof_latest(bt.limit(1000)).count()  # untimed plan warm-up
+            timed("asof_latest_bucketed", lambda: asof_latest(bt).count())
         timed("window_read_boundless", lambda: read_boundless(cells, Window(-8, -8, 1040, 600)).count())
         timed("merge_first", lambda: merge(layers, "first").count())
         timed("downsample_average", lambda: downsample(cells, 8, "average").count())
@@ -281,6 +304,28 @@ def run_suite(
                 spark.read.parquet(f"{sf_dir}/documents.parquet"),
                 max_bucket=50,
                 hash_method="xxh64",
+            ).count(),
+        )
+        # production signature width (r4 verdict item 8): 128 perms /
+        # 16 bands. Same one-shuffle signature agg — 128 min() columns
+        # instead of 16 — and an 8x-wider band explode before the
+        # bucket join. Untimed narrow pass first (plan JIT, like the
+        # 16-perm entry above).
+        minhash_lsh_pairs(
+            spark.read.parquet(f"{sf_dir}/documents.parquet").limit(200),
+            max_bucket=50,
+            hash_method="xxh64",
+            num_perm=128,
+            bands=16,
+        ).count()
+        timed(
+            "minhash_lsh_128",
+            lambda: minhash_lsh_pairs(
+                spark.read.parquet(f"{sf_dir}/documents.parquet"),
+                max_bucket=50,
+                hash_method="xxh64",
+                num_perm=128,
+                bands=16,
             ).count(),
         )
         timed(

@@ -18,6 +18,13 @@ MINHASH_COEFFS = [(2 * j + 1, (j * j + j + 41) % MINHASH_P) for j in range(16)]
 LSH_BANDS = 4  # 16 perms / 4 rows per band
 
 
+def minhash_coeffs(num_perm: int) -> list[tuple[int, int]]:
+    """Universal-hash (a, b) pairs for ``num_perm`` permutations — the
+    default 16-perm table extended by the same formula, so production
+    widths (128 perms / 16 bands) share the coefficient family."""
+    return [(2 * j + 1, (j * j + j + 41) % MINHASH_P) for j in range(num_perm)]
+
+
 def dedup_exact(docs: DataFrame, text_col: str = "text", id_col: str = "doc_id") -> DataFrame:
     """Exact dedup by content hash: one row per distinct text with the
     keeper (min id) and the duplicate count."""
@@ -268,9 +275,11 @@ def minhash_signatures(
     text_col: str = "text",
     id_col: str = "doc_id",
     hash_method: str = "sha2",
+    num_perm: int = len(MINHASH_COEFFS),
 ) -> DataFrame:
-    """(doc_id, s0..s15) — MinHash signature with 16 universal-hash
-    permutations over 60-bit shingle hashes mod p.
+    """(doc_id, s0..s{num_perm-1}) — MinHash signature with num_perm
+    universal-hash permutations over 60-bit shingle hashes mod p
+    (default 16; production near-dup configs run 128).
 
     Uses the RAW exploded shingles (no distinct): min() is
     duplicate-insensitive, so skipping the dedup drops a full shuffle
@@ -284,18 +293,18 @@ def minhash_signatures(
     sh = sh.select("doc_id", hp)
     aggs = [
         F.min((F.lit(a) * F.col("hp") + F.lit(b)) % MINHASH_P).alias(f"s{j}")
-        for j, (a, b) in enumerate(MINHASH_COEFFS)
+        for j, (a, b) in enumerate(minhash_coeffs(num_perm))
     ]
     return sh.groupBy("doc_id").agg(*aggs)
 
 
-def lsh_buckets(sig: DataFrame) -> DataFrame:
+def lsh_buckets(sig: DataFrame, num_perm: int = len(MINHASH_COEFFS), bands: int = LSH_BANDS) -> DataFrame:
     """(doc_id, bucket) — one bucket key per LSH band.
 
     Single-branch plan: the band keys explode from one array instead of
     a bands-way union (which carried the signature aggregation once per
     band unless exchange reuse saved it)."""
-    rows_per_band = len(MINHASH_COEFFS) // LSH_BANDS
+    rows_per_band = num_perm // bands
     keys = [
         F.concat_ws(
             "_",
@@ -305,7 +314,7 @@ def lsh_buckets(sig: DataFrame) -> DataFrame:
                 for r in range(rows_per_band)
             ],
         )
-        for band in range(LSH_BANDS)
+        for band in range(bands)
     ]
     return sig.select("doc_id", F.explode(F.array(*keys)).alias("bucket"))
 
@@ -317,10 +326,13 @@ def minhash_lsh_pairs(
     id_col: str = "doc_id",
     max_bucket: int | None = None,
     hash_method: str = "sha2",
+    num_perm: int = len(MINHASH_COEFFS),
+    bands: int = LSH_BANDS,
 ) -> DataFrame:
     """Candidate near-dup pairs: docs sharing any LSH band bucket
-    (16 perms -> 4 bands x 4 rows). Pure groupBy/join — the standard
-    shingle -> minhash -> band -> bucket-join pipeline.
+    (default 16 perms -> 4 bands x 4 rows; production width 128/16 is
+    one kwarg away and benched as `minhash_lsh_128`). Pure groupBy/join
+    — the standard shingle -> minhash -> band -> bucket-join pipeline.
 
     ``max_bucket`` drops buckets holding more than that many docs
     before the self-join (the bucket-side analogue of the shingle
@@ -328,8 +340,10 @@ def minhash_lsh_pairs(
     bounds the join output at buckets * max_bucket^2. Oversized buckets
     are boilerplate clusters LSH cannot rank anyway — production
     pipelines route them to exact dedup instead."""
-    sig = minhash_signatures(docs, n, text_col, id_col, hash_method)
-    buckets = lsh_buckets(sig)
+    if num_perm % bands:
+        raise ValueError(f"num_perm {num_perm} must divide into {bands} bands")
+    sig = minhash_signatures(docs, n, text_col, id_col, hash_method, num_perm=num_perm)
+    buckets = lsh_buckets(sig, num_perm=num_perm, bands=bands)
     if max_bucket is not None:
         hot = (
             buckets.groupBy("bucket")

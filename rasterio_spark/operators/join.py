@@ -800,8 +800,14 @@ def sample_points(
 
 def asof_latest(pages: DataFrame, res: int = DEFAULT_RES) -> DataFrame:
     """Latest page per cell by (warc_ts, url) — deterministic as-of top-1
-    over runs sorted by (cell_id, warc_ts)."""
-    tiled = tile_pages(pages, res=res)
+    over runs sorted by (cell_id, warc_ts).
+
+    Inputs already carrying ``cell_id`` (the bucketed ingest layout,
+    sources/bucketed.py) use the stored column as-is: over a table
+    bucketed by cell_id the window's required distribution is satisfied
+    by the layout, so the whole query runs with ZERO Exchange — the
+    once-at-ingest-shuffle architecture (benched: asof_latest_bucketed)."""
+    tiled = pages if "cell_id" in pages.columns else tile_pages(pages, res=res)
     w = W.partitionBy("cell_id").orderBy(F.col("warc_ts").desc(), F.col("url").desc())
     return (
         tiled.withColumn("_rn", F.row_number().over(w))

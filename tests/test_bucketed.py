@@ -63,3 +63,30 @@ def test_warehouse_outside_repo(spark):
     wh = spark.conf.get("spark.sql.warehouse.dir")
     assert "/root/repo" not in wh
     assert os.path.isabs(wh.removeprefix("file:"))
+
+
+def test_asof_latest_bucketed_no_exchange_and_equal(spark, sf_dir):
+    """asof_latest over the bucketed ingest layout (stored cell_id):
+    ZERO Exchange in the plan, identical rows to the derive-and-shuffle
+    path over the raw pages table (bench entry asof_latest_bucketed)."""
+    from rasterio_spark.operators.join import asof_latest
+    from rasterio_spark.operators.tile import tile_pages
+    from rasterio_spark.sources.bucketed import read_bucketed, write_bucketed
+    from rasterio_spark.sources.pages import pages_from_documents
+
+    pages = pages_from_documents(spark, sf_dir)
+    write_bucketed(
+        tile_pages(pages).select("url", "warc_ts", "lang", "cell_id"),
+        "t_asof_b",
+        buckets=8,
+    )
+    try:
+        bt = read_bucketed(spark, "t_asof_b")
+        got = asof_latest(bt)
+        plan = got._jdf.queryExecution().executedPlan().toString()
+        assert "Exchange" not in plan
+        rows = {tuple(r) for r in got.collect()}
+        exp = {tuple(r) for r in asof_latest(pages).collect()}
+        assert rows == exp
+    finally:
+        spark.sql("DROP TABLE IF EXISTS t_asof_b")

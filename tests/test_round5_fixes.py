@@ -293,3 +293,39 @@ def pd_isna(v):
         return bool(pd.isna(v))
     except (TypeError, ValueError):
         return False
+
+
+# ------------------------------------------------- 128-perm minhash
+
+
+def test_minhash_production_width(spark):
+    """128 perms / 16 bands (production near-dup width): signatures
+    carry 128 columns, each doc gets 16 band buckets, and exact
+    duplicates still collide in every band (minhash identity)."""
+    from rasterio_spark.operators.dedup import (
+        lsh_buckets,
+        minhash_lsh_pairs,
+        minhash_signatures,
+    )
+
+    docs = spark.createDataFrame(
+        [
+            (1, "the quick brown fox jumps over the lazy dog again and again"),
+            (2, "the quick brown fox jumps over the lazy dog again and again"),
+            (3, "a completely different document about spark shuffle plans"),
+        ],
+        "doc_id long, text string",
+    )
+    sig = minhash_signatures(docs, num_perm=128)
+    assert len(sig.columns) == 1 + 128
+    b = lsh_buckets(sig, num_perm=128, bands=16)
+    counts = {r["doc_id"]: r["n"] for r in b.groupBy("doc_id").agg(F.count(F.lit(1)).alias("n")).collect()}
+    assert counts == {1: 16, 2: 16, 3: 16}
+    pairs = {
+        (r["doc_a"], r["doc_b"])
+        for r in minhash_lsh_pairs(docs, num_perm=128, bands=16).collect()
+    }
+    assert (1, 2) in pairs
+
+    with pytest.raises(ValueError, match="must divide"):
+        minhash_lsh_pairs(docs, num_perm=100, bands=16)
