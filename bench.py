@@ -395,6 +395,10 @@ def main() -> None:
         from rasterio_spark.plans.session import get_session
 
         n = int(os.environ.get("BENCH_N", "200000"))
+        # production signature width on demand (scaling_hunt --job
+        # dedup128): 128 perms / 16 bands instead of the default 16/4
+        num_perm = int(os.environ.get("BENCH_DEDUP_PERMS", "16"))
+        bands = 16 if num_perm >= 128 else 4
         spark = get_session(
             app_name="bench_dedup", cores=CPUS, shuffle_partitions=max(CPUS, 8)
         )
@@ -402,14 +406,20 @@ def main() -> None:
         # warm-up (JIT, codegen) on a slice, discarded
         warm_hi = OFFSET + min(n // 20, 10_000)
         minhash_lsh_pairs(
-            docs.where(f"doc_id < {warm_hi}"), max_bucket=50, hash_method="xxh64"
+            docs.where(f"doc_id < {warm_hi}"),
+            max_bucket=50,
+            hash_method="xxh64",
+            num_perm=num_perm,
+            bands=bands,
         ).count()
         _await_barrier()
         times = []
         pairs = 0
         for _ in range(3):
             t0 = time.perf_counter()
-            pairs = minhash_lsh_pairs(docs, max_bucket=50, hash_method="xxh64").count()
+            pairs = minhash_lsh_pairs(
+                docs, max_bucket=50, hash_method="xxh64", num_perm=num_perm, bands=bands
+            ).count()
             times.append(time.perf_counter() - t0)
         times.sort()
         print(
@@ -517,7 +527,11 @@ def main() -> None:
     mp_log = os.path.join(bench_dir, "scaling_mp_log.jsonl")
     if os.path.exists(mp_log):
         all_recs = [json.loads(l) for l in open(mp_log)]
-        for job, out_key in (("pip", "scaling_multiproc"), ("dedup", "scaling_multiproc_dedup")):
+        for job, out_key in (
+            ("pip", "scaling_multiproc"),
+            ("dedup", "scaling_multiproc_dedup"),
+            ("dedup128", "scaling_multiproc_dedup128"),
+        ):
             mrecs = [r for r in all_recs if r.get("job", "pip") == job]
             mrecs = [r for r in mrecs if mrecs and r["n"] == mrecs[-1]["n"]]
             if not mrecs:

@@ -124,8 +124,12 @@ def _headline_env(
         BENCH_N=str(n),
         BENCH_OFFSET=str(offset),
         BENCH_GEOCODE="stored",
-        BENCH_JOB=job,
+        # dedup128 = the same --dedup-only job at production signature
+        # width (128 perms / 16 bands); prepare/caching is identical
+        BENCH_JOB="dedup" if job == "dedup128" else job,
     )
+    if job == "dedup128":
+        env["BENCH_DEDUP_PERMS"] = "128"
     if barrier:
         env["BENCH_BARRIER"] = barrier
     else:
@@ -151,7 +155,7 @@ def multiproc_hunt(cycles: int, n: int, workers: int = 4, job: str = "pip") -> N
     os.makedirs(os.path.dirname(MP_LOG), exist_ok=True)
     shard = n // workers
     bench = os.path.join(REPO, "bench.py")
-    run_flag = "--dedup-only" if job == "dedup" else "--headline-only"
+    run_flag = "--dedup-only" if job in ("dedup", "dedup128") else "--headline-only"
     # build every shard's parquet cache sequentially (untimed setup)
     for w in range(workers):
         subprocess.run(
@@ -299,7 +303,11 @@ def report() -> None:
     }
     if os.path.exists(MP_LOG):
         all_recs = [json.loads(l) for l in open(MP_LOG)]
-        for job, prefix in (("pip", "multiproc"), ("dedup", "multiproc_dedup")):
+        for job, prefix in (
+            ("pip", "multiproc"),
+            ("dedup", "multiproc_dedup"),
+            ("dedup128", "multiproc_dedup128"),
+        ):
             mrecs = [r for r in all_recs if r.get("job", "pip") == job]
             mrecs = [r for r in mrecs if mrecs and r["n"] == mrecs[-1]["n"]]
             if not mrecs:
