@@ -43,11 +43,12 @@ sys.path.insert(0, os.path.join(REPO, "tools"))
 LOG = os.path.join(REPO, "BENCH", "regression_pin.jsonl")
 
 QUERIES = [
-    "downsample_average",
-    "cell_histogram",
-    "knn",
-    "merge_first",
-    "pip_join_sort_merge",
+    q
+    for q in os.environ.get(
+        "BENCH_PIN_QUERIES",
+        "downsample_average,cell_histogram,knn,merge_first,pip_join_sort_merge",
+    ).split(",")
+    if q
 ]
 
 
@@ -94,13 +95,21 @@ def cycle(c: int) -> dict:
 def report() -> None:
     recs = [json.loads(l) for l in open(LOG)]
     out = {"cycles": len(recs)}
-    for proto, match in (("single_shot", lambda r: r.get("repeats", 3) == 1),
-                         ("steady_state", lambda r: r.get("repeats", 3) > 1)):
+    for proto, match in (
+        ("single_shot", lambda r: r.get("protocol") != "headline" and r.get("repeats", 3) == 1),
+        ("steady_state", lambda r: r.get("protocol") != "headline" and r.get("repeats", 3) > 1),
+        ("headline", lambda r: r.get("protocol") == "headline"),
+    ):
         sub = [r for r in recs if match(r)]
         if not sub:
             continue
         calm = [r for r in sub if max(r["probe_before"], r["probe_after"]) <= 0.05]
         pool = calm if calm else sub
+        names = (
+            sorted({q for r in pool for q in r["queries"]})
+            if proto == "headline"
+            else QUERIES
+        )
         out[proto] = {
             "cycles": len(sub),
             "calm_cycles": len(calm),
@@ -109,7 +118,7 @@ def report() -> None:
                     (r["queries"][q] for r in pool if q in r["queries"]),
                     default=None,
                 )
-                for q in QUERIES
+                for q in names
             },
         }
     # artifact-comparable ratios use the single-shot protocol only
@@ -131,9 +140,53 @@ def report() -> None:
     print(json.dumps(out, indent=2))
 
 
+def headline_cycle(c: int) -> dict:
+    """Pin the headline job itself (r4 verdict item 1): probe ->
+    `bench.py --headline-only` (warm-up + best/median of 4 at the full
+    suite's n) -> probe. Appends protocol='headline' records; these are
+    artifact-comparable to BENCH_rN's headline seconds up to the rN
+    single-shot-inside-full-suite position (the headline is the FIRST
+    timed job there too, so both pay session JIT the same way — and
+    --headline-only additionally takes best-of-4, a lower bound)."""
+    p0 = host_probe()
+    env = dict(os.environ, BENCH_N="600000")
+    out = subprocess.run(
+        [sys.executable, os.path.join(REPO, "bench.py"), "--headline-only"],
+        env=env,
+        capture_output=True,
+        text=True,
+        timeout=3600,
+        cwd=REPO,
+    )
+    line = [l for l in out.stdout.strip().splitlines() if l.startswith("{")][-1]
+    r = json.loads(line)
+    p1 = host_probe()
+    rec = {
+        "cycle": c,
+        "protocol": "headline",
+        "probe_before": round(p0, 3),
+        "probe_after": round(p1, 3),
+        "queries": {
+            "headline_tile_pip_join": round(r["sec"], 3),
+            "headline_median": round(r["median_sec"], 3),
+        },
+        "rows": r["rows"],
+        "ts": time.strftime("%H:%M:%S"),
+    }
+    os.makedirs(os.path.dirname(LOG), exist_ok=True)
+    with open(LOG, "a") as f:
+        f.write(json.dumps(rec) + "\n")
+    print(json.dumps(rec), flush=True)
+    return rec
+
+
 if __name__ == "__main__":
     if "--report" in sys.argv:
         report()
+    elif "--headline" in sys.argv:
+        args = [a for a in sys.argv[1:] if a.isdigit()]
+        for c in range(int(args[0]) if args else 3):
+            headline_cycle(c)
     else:
         n = int(sys.argv[1]) if len(sys.argv) > 1 and sys.argv[1].isdigit() else 3
         for c in range(n):

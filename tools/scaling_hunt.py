@@ -199,8 +199,13 @@ def multiproc_hunt(cycles: int, n: int, workers: int = 4, job: str = "pip") -> N
         finally:
             shutil.rmtree(bdir, ignore_errors=True)
         probe2 = host_probe()
-        if job == "dedup":
-            # metric: documents deduped per second
+        if job in ("dedup", "dedup128"):
+            # metric: documents deduped per second. (The first five
+            # dedup128 cycles in the log predate this branch and went
+            # through the pip formula below; since --dedup-only reports
+            # rows == n == shard, their tp values are exactly 2x docs/s
+            # and their eff ratios are unchanged — noted in
+            # BENCH/BASELINE.md.)
             tp1 = base["rows"] / base["sec"]
             tp4 = sum(o["rows"] / o["sec"] for o in outs)
         else:
