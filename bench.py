@@ -239,6 +239,16 @@ def run_suite(
 
             bt_name = f"bench_pages_bucketed_{n}"
             if not spark.catalog.tableExists(bt_name):
+                # the warehouse dir outlives the Derby metastore (a
+                # fresh metastore_db with a stale /tmp warehouse makes
+                # saveAsTable fail with LOCATION_ALREADY_EXISTS) —
+                # this is a bench cache, so drop the orphaned location
+                import shutil
+
+                wh = spark.conf.get("spark.sql.warehouse.dir")
+                loc = os.path.join(wh.removeprefix("file:"), bt_name)
+                if os.path.isdir(loc):
+                    shutil.rmtree(loc, ignore_errors=True)
                 write_bucketed(
                     tile_pages(pages).select("url", "warc_ts", "lang", "cell_id"),
                     bt_name,
