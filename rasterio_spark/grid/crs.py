@@ -1,10 +1,11 @@
-"""CRS support: the two fixed projections the engine ships
-(SURVEY.md §1.1 CRS row: only equality checks and a fixed projection
-pair need logic).
+"""CRS support: the closed-form WGS84 projections the engine ships
+(SURVEY.md §1.1 CRS row).
 
-EPSG:4326 (lon/lat degrees, WGS84) <-> EPSG:3857 (Web Mercator). Pure
-NumPy, the public spherical-Mercator formulas; also emitted as Spark
-column expressions and DuckDB SQL so the whole warp stays JVM-side.
+EPSG:4326 (lon/lat degrees) <-> EPSG:3857 (Web Mercator) here; the UTM
+series EPSG:326xx/327xx in grid/utm.py; EPSG:3395 (World Mercator) and
+the UPS pair EPSG:32661/32761 in grid/projections.py. Pure NumPy public
+formulas; every projection is also emitted as Spark column expressions
+and DuckDB SQL so the whole warp stays JVM-side.
 
 Reference behavior mirrored: warp.transform vectorized point transform
 (/root/reference/rasterio/warp.py:26-61), transform_bounds with 21-point
@@ -278,12 +279,27 @@ def _utm_code(normalized: str) -> int | None:
     return code if utm.is_utm(code) else None
 
 
+def _proj_code(normalized: str) -> int | None:
+    """EPSG code if `normalized` is a non-UTM projection the engine
+    ships (EPSG:3395 World Mercator, EPSG:32661/32761 UPS), else None."""
+    from rasterio_spark.grid import projections
+
+    if not normalized.startswith("EPSG:"):
+        return None
+    try:
+        code = int(normalized.split(":", 1)[1])
+    except ValueError:
+        return None
+    return code if projections.is_supported(code) else None
+
+
 def transform_points(src_crs: str, dst_crs: str, xs, ys):
     """Vectorized point transform between supported CRSs: EPSG:4326,
-    EPSG:3857, and the UTM series EPSG:326xx/327xx (Karney/Krueger
-    transverse-Mercator, grid/utm.py). Arbitrary pairs compose through
-    geographic coordinates — the same hub-CRS pipeline PROJ builds."""
-    from rasterio_spark.grid import utm
+    EPSG:3857, the UTM series EPSG:326xx/327xx (Karney/Krueger
+    transverse-Mercator, grid/utm.py), EPSG:3395 (World Mercator), and
+    EPSG:32661/32761 (UPS, grid/projections.py). Arbitrary pairs compose
+    through geographic coordinates — the same hub-CRS pipeline PROJ builds."""
+    from rasterio_spark.grid import projections, utm
 
     xs = np.asarray(xs, dtype="float64")
     ys = np.asarray(ys, dtype="float64")
@@ -299,10 +315,13 @@ def transform_points(src_crs: str, dst_crs: str, xs, ys):
         lat = (2.0 * np.arctan(np.exp(ys / R)) - np.pi / 2.0) * 180.0 / np.pi
     elif _utm_code(s) is not None:
         lon, lat = utm.inverse(xs, ys, _utm_code(s))
+    elif _proj_code(s) is not None:
+        lon, lat = projections.inverse(xs, ys, _proj_code(s))
     else:
         raise ValueError(
             f"unsupported CRS pair {s} -> {d} "
-            "(engine ships EPSG:4326, EPSG:3857, and UTM EPSG:326xx/327xx)"
+            "(engine ships EPSG:4326, EPSG:3857, UTM EPSG:326xx/327xx, "
+            "EPSG:3395, and UPS EPSG:32661/32761)"
         )
 
     # geographic -> dst
@@ -314,9 +333,12 @@ def transform_points(src_crs: str, dst_crs: str, xs, ys):
         return x, y
     if _utm_code(d) is not None:
         return utm.forward(lon, lat, _utm_code(d))
+    if _proj_code(d) is not None:
+        return projections.forward(lon, lat, _proj_code(d))
     raise ValueError(
         f"unsupported CRS pair {s} -> {d} "
-        "(engine ships EPSG:4326, EPSG:3857, and UTM EPSG:326xx/327xx)"
+        "(engine ships EPSG:4326, EPSG:3857, UTM EPSG:326xx/327xx, "
+        "EPSG:3395, and UPS EPSG:32661/32761)"
     )
 
 
@@ -334,10 +356,14 @@ def transform_bounds(src_crs, dst_crs, left, bottom, right, top, densify_pts: in
     ys = np.concatenate(
         [np.full(n, bottom), np.full(n, top), ys_edge, ys_edge]
     )
-    if normalize_crs(src_crs) == "EPSG:4326" and normalize_crs(dst_crs) == "EPSG:3857":
-        # web mercator is undefined at the poles; PROJ clips likewise.
-        # UTM targets keep the input latitudes (their series is defined
-        # pole-to-pole; the reference lets PROJ range-error instead).
+    if normalize_crs(src_crs) == "EPSG:4326" and normalize_crs(dst_crs) in (
+        "EPSG:3857",
+        "EPSG:3395",
+    ):
+        # mercator (spherical or ellipsoidal) is undefined at the poles;
+        # PROJ clips likewise. UTM/UPS targets keep the input latitudes
+        # (their series is defined pole-to-pole; the reference lets PROJ
+        # range-error instead).
         ys = np.clip(ys, -MERC_MAX_LAT, MERC_MAX_LAT)
     tx, ty = transform_points(src_crs, dst_crs, xs, ys)
     return float(tx.min()), float(ty.min()), float(tx.max()), float(ty.max())
@@ -513,13 +539,14 @@ def forward_3857_cols(lon, lat):
 def transform_points_cols(src_crs, dst_crs, x, y):
     """Spark Column twin of :func:`transform_points` — the reproject /
     warp hot path stays JVM-side (whole-stage codegen, zero Python) for
-    every supported pair: 4326, 3857, UTM 326xx/327xx, composed through
-    geographic exactly like the NumPy form."""
+    every supported pair: 4326, 3857, UTM 326xx/327xx, 3395, UPS
+    32661/32761, composed through geographic exactly like the NumPy
+    form."""
     import math
 
     from pyspark.sql import functions as F
 
-    from rasterio_spark.grid import utm
+    from rasterio_spark.grid import projections, utm
 
     s, d = normalize_crs(src_crs), normalize_crs(dst_crs)
     if s == d:
@@ -532,6 +559,8 @@ def transform_points_cols(src_crs, dst_crs, x, y):
         lat = (F.atan(F.exp(y / R)) * 2.0 - math.pi / 2.0) * (180.0 / math.pi)
     elif _utm_code(s) is not None:
         lon, lat = utm.inverse_cols(x, y, _utm_code(s))
+    elif _proj_code(s) is not None:
+        lon, lat = projections.inverse_cols(x, y, _proj_code(s))
     else:
         raise ValueError(f"unsupported CRS pair {s} -> {d}")
 
@@ -541,6 +570,8 @@ def transform_points_cols(src_crs, dst_crs, x, y):
         return forward_3857_cols(lon, lat)
     if _utm_code(d) is not None:
         return utm.forward_cols(lon, lat, _utm_code(d))
+    if _proj_code(d) is not None:
+        return projections.forward_cols(lon, lat, _proj_code(d))
     raise ValueError(f"unsupported CRS pair {s} -> {d}")
 
 
@@ -550,7 +581,7 @@ def transform_points_sql(src_crs, dst_crs, x_sql: str, y_sql: str) -> tuple[str,
     if s == d:
         return x_sql, y_sql
 
-    from rasterio_spark.grid import utm
+    from rasterio_spark.grid import projections, utm
 
     if s == "EPSG:4326":
         lon, lat = x_sql, y_sql
@@ -559,6 +590,8 @@ def transform_points_sql(src_crs, dst_crs, x_sql: str, y_sql: str) -> tuple[str,
         lat = f"((2.0 * atan(exp(({y_sql}) / {R!r})) - pi() / 2.0) * 180.0 / pi())"
     elif _utm_code(s) is not None:
         lon, lat = utm.inverse_sql(x_sql, y_sql, _utm_code(s))
+    elif _proj_code(s) is not None:
+        lon, lat = projections.inverse_sql(x_sql, y_sql, _proj_code(s))
     else:
         raise ValueError(f"unsupported CRS pair {s} -> {d}")
 
@@ -568,4 +601,6 @@ def transform_points_sql(src_crs, dst_crs, x_sql: str, y_sql: str) -> tuple[str,
         return forward_3857_sql(lon, lat)
     if _utm_code(d) is not None:
         return utm.forward_sql(lon, lat, _utm_code(d))
+    if _proj_code(d) is not None:
+        return projections.forward_sql(lon, lat, _proj_code(d))
     raise ValueError(f"unsupported CRS pair {s} -> {d}")
