@@ -19,6 +19,7 @@ quiet cluster".
 Usage:
     python tools/scaling_hunt.py [cycles] [n_pages]        # hunt (8 vs 32 threads)
     python tools/scaling_hunt.py --multiproc [cycles] [n]  # 1x vs 4x local[8] JVMs
+    python tools/scaling_hunt.py --multiproc --pin ...     # + taskset core pinning
     python tools/scaling_hunt.py --report                  # print summary JSON
 
 The --multiproc mode is the honest N-vs-4N emulation (round-3 VERDICT
@@ -141,20 +142,38 @@ def _last_json(text: str) -> dict:
     return json.loads([l for l in text.strip().splitlines() if l.startswith("{")][-1])
 
 
-def multiproc_hunt(cycles: int, n: int, workers: int = 4, job: str = "pip") -> None:
+def multiproc_hunt(
+    cycles: int, n: int, workers: int = 4, job: str = "pip", pin: bool = False
+) -> None:
     """1 x local[8] on one shard vs `workers` concurrent local[8] JVMs
     on disjoint shards; efficiency = tpN / (workers * tp1).
 
     ``job='pip'``: the map-heavy tiling+PIP headline. ``job='dedup'``:
     the shuffle-heavy MinHash+LSH candidate-pair job (bench.py
     --dedup-only) — wide shuffles at every stage, covering the scaling
-    criterion for the workload class the pip headline doesn't."""
+    criterion for the workload class the pip headline doesn't.
+
+    ``pin=True`` (``--pin``): taskset each emulated executor JVM to its
+    own disjoint 8-core set (worker w -> cores 8w..8w+7) and the
+    baseline JVM to cores 0-7. This matches the north rule's cluster
+    model more faithfully than free-floating JVMs: a real executor node
+    owns its cores exclusively, so its GC/JIT/shuffle threads never
+    migrate onto a neighbour's cores, and the baseline cannot quietly
+    borrow >8 cores for its service threads (which inflates tp1 and
+    depresses measured efficiency). The shared memory bus remains
+    shared — that is the one resource a single box cannot split — and
+    the per-cycle numpy control still reports the host's own ceiling."""
     import shutil
     import tempfile
 
     os.makedirs(os.path.dirname(MP_LOG), exist_ok=True)
     shard = n // workers
     bench = os.path.join(REPO, "bench.py")
+
+    def _cmd(argv: list[str], cpu_lo: int | None) -> list[str]:
+        if pin and cpu_lo is not None:
+            return ["taskset", "-c", f"{cpu_lo}-{cpu_lo + 7}"] + argv
+        return argv
     run_flag = "--dedup-only" if job in ("dedup", "dedup128") else "--headline-only"
     # build every shard's parquet cache sequentially (untimed setup)
     for w in range(workers):
@@ -171,7 +190,7 @@ def multiproc_hunt(cycles: int, n: int, workers: int = 4, job: str = "pip") -> N
         # baseline: one local[8] JVM, shard 0
         base = _last_json(
             subprocess.run(
-                [sys.executable, bench, run_flag],
+                _cmd([sys.executable, bench, run_flag], 0),
                 env=_headline_env(8, shard, 0, None, job),
                 capture_output=True,
                 text=True,
@@ -186,7 +205,7 @@ def multiproc_hunt(cycles: int, n: int, workers: int = 4, job: str = "pip") -> N
         try:
             procs = [
                 subprocess.Popen(
-                    [sys.executable, bench, run_flag],
+                    _cmd([sys.executable, bench, run_flag], 8 * w),
                     env=_headline_env(8, shard, w * shard, f"{bdir}:{workers}", job),
                     stdout=subprocess.PIPE,
                     stderr=subprocess.DEVNULL,
@@ -215,6 +234,7 @@ def multiproc_hunt(cycles: int, n: int, workers: int = 4, job: str = "pip") -> N
         rec = {
             "mode": "multiproc",
             "job": job,
+            "pinned": pin,
             "cycle": c,
             "workers": workers,
             "n": n,
@@ -308,12 +328,18 @@ def report() -> None:
     }
     if os.path.exists(MP_LOG):
         all_recs = [json.loads(l) for l in open(MP_LOG)]
-        for job, prefix in (
-            ("pip", "multiproc"),
-            ("dedup", "multiproc_dedup"),
-            ("dedup128", "multiproc_dedup128"),
+        for job, pinned, prefix in (
+            ("pip", False, "multiproc"),
+            ("pip", True, "multiproc_pinned"),
+            ("dedup", None, "multiproc_dedup"),
+            ("dedup128", None, "multiproc_dedup128"),
         ):
-            mrecs = [r for r in all_recs if r.get("job", "pip") == job]
+            mrecs = [
+                r
+                for r in all_recs
+                if r.get("job", "pip") == job
+                and (pinned is None or bool(r.get("pinned", False)) == pinned)
+            ]
             mrecs = [r for r in mrecs if mrecs and r["n"] == mrecs[-1]["n"]]
             if not mrecs:
                 continue
@@ -342,6 +368,6 @@ if __name__ == "__main__":
         cycles = int(args[0]) if args else 6
         n = int(args[1]) if len(args) > 1 else 24_000_000
         if "--multiproc" in argv:
-            multiproc_hunt(cycles, n, job=job)
+            multiproc_hunt(cycles, n, job=job, pin="--pin" in argv)
         else:
             hunt(cycles, n)
