@@ -137,6 +137,23 @@ def _src_fractional_cols(dst_transform: Affine, src_transform: Affine, src_crs, 
     return col_f, row_f
 
 
+# area-method warp aggregates (reference enums.py Resampling values
+# valid for reprojection beyond the interpolating kernels); rounding
+# and quantile semantics match downsample's so overviews and warps of
+# the same layer agree. mode is handled separately (tie rule).
+_AREA_METHODS = {
+    "average": lambda: F.round(F.avg("value"), 6),
+    "mode": None,
+    "max": lambda: F.max("value"),
+    "min": lambda: F.min("value"),
+    "sum": lambda: F.sum("value"),
+    "rms": lambda: F.round(F.sqrt(F.avg(F.col("value") * F.col("value"))), 6),
+    "med": lambda: F.round(F.expr("percentile(value, 0.5)"), 6),
+    "q1": lambda: F.round(F.expr("percentile(value, 0.25)"), 6),
+    "q3": lambda: F.round(F.expr("percentile(value, 0.75)"), 6),
+}
+
+
 def reproject(
     src_cells: DataFrame,
     src_transform: Affine,
@@ -149,8 +166,13 @@ def reproject(
     src_nodata: float = 0.0,
     dst_nodata: float | None = None,
 ) -> DataFrame:
-    """Inverse-mapping warp producing the dense dst grid
-    (band, row, col, value, valid)."""
+    """Warp producing the dense dst grid (band, row, col, value, valid).
+
+    Interpolating kernels (nearest/bilinear/cubic/cubic_spline/lanczos)
+    inverse-map dst centers into the src grid; area methods
+    (average/mode/min/max/med/q1/q3/sum/rms) forward-map src centers
+    into dst cells and aggregate contributors. Both directions hop CRS
+    as pure JVM expressions (grid/crs.py transform_points_cols)."""
     spark = src_cells.sparkSession
     if dst_nodata is None:
         dst_nodata = src_nodata
@@ -246,15 +268,23 @@ def reproject(
             dom, src_cells, bands, resampling, dst_nodata
         )
 
-    if resampling == "average":
-        # area method: each valid src cell lands in one dst cell
+    if resampling in _AREA_METHODS:
+        # area method (reference enums.py Resampling average/mode/min/
+        # max/med/q1/q3/sum/rms for warping): each valid src cell lands
+        # in one dst cell; the dst cell aggregates its contributors.
         a, b, c, d, e, f = dst_transform
         sa, sb, sc, sd, se, sf = src_transform
         src = src_cells.where(F.col("valid"))
         x = F.lit(sa) * (F.col("col") + 0.5) + F.lit(sc)
         y = F.lit(se) * (F.col("row") + 0.5) + F.lit(sf)
         if not crs_equal(src_crs, dst_crs):
-            raise ValueError("average reprojection across CRS not supported yet")
+            # forward-map each src center into the dst grid (the area
+            # method bins contributors, so the hop runs src->dst — the
+            # opposite direction from the inverse-mapping resamplers);
+            # still pure JVM expressions via the same dispatch.
+            from rasterio_spark.grid.crs import transform_points_cols
+
+            x, y = transform_points_cols(src_crs, dst_crs, x, y)
         dcol = F.floor((x - F.lit(c)) / F.lit(a)).cast("int")
         drow = F.floor((y - F.lit(f)) / F.lit(e)).cast("int")
         landed = src.select(
@@ -268,9 +298,24 @@ def reproject(
             & (F.col("col") >= 0)
             & (F.col("col") < dst_width)
         )
-        agg = landed.groupBy("band", "row", "col").agg(
-            F.round(F.avg("value"), 6).alias("value")
-        )
+        if resampling == "mode":
+            # deterministic mode, same tie rule as downsample: highest
+            # count, ties -> smallest value
+            counts = landed.groupBy("band", "row", "col", "value").agg(
+                F.count(F.lit(1)).alias("_n")
+            )
+            w = W.partitionBy("band", "row", "col").orderBy(
+                F.col("_n").desc(), F.col("value").asc()
+            )
+            agg = (
+                counts.withColumn("_rk", F.row_number().over(w))
+                .where(F.col("_rk") == 1)
+                .select("band", "row", "col", "value")
+            )
+        else:
+            agg = landed.groupBy("band", "row", "col").agg(
+                _AREA_METHODS[resampling]().alias("value")
+            )
         # dense output per input band (band=1 only was a bug: bands >= 2
         # were silently dropped from the dense domain)
         dom2 = _dst_domain(spark, dst_width, dst_height).crossJoin(F.broadcast(bands))
@@ -283,6 +328,11 @@ def reproject(
             F.col("value").isNotNull().alias("valid"),
         )
 
+    if resampling == "gauss":
+        raise ValueError(
+            "gauss resampling is overview-only (reference enums.py); "
+            "use downsample(method='gauss')"
+        )
     raise ValueError(f"unsupported resampling {resampling!r}")
 
 

@@ -172,6 +172,137 @@ def test_duckdb_sql_match_numpy():
     assert abs(gx - xs[2]) < 1e-6 and abs(gy - ys[2]) < 1e-6
 
 
+def test_reproject_average_cross_crs(spark):
+    """average resampling now hops CRS: forward-map src centers into the
+    dst grid (JVM expressions), bin, avg. Verified against an
+    independent NumPy binning of the same cells."""
+    from rasterio_spark.grid.affine import Affine
+    from rasterio_spark.operators.warp import calculate_default_transform, reproject
+
+    w0, h0 = 24, 12
+    src_t = Affine(0.25, 0.0, 4.0, 0.0, -0.25, 48.0)
+    vals = [
+        (1, r, c, float((r * 7 + c * 3) % 11), (r + c) % 5 != 0)
+        for r in range(h0)
+        for c in range(w0)
+    ]
+    cells = spark.createDataFrame(
+        vals, "band int, row int, col int, value double, valid boolean"
+    )
+    dst_t, w, h = calculate_default_transform(
+        "EPSG:4326", "EPSG:3857", w0, h0, 4.0, 45.0, 10.0, 48.0
+    )
+    out = reproject(
+        cells, src_t, "EPSG:4326", dst_t, "EPSG:3857", w, h, "average",
+        src_nodata=-1.0,
+    ).toPandas()
+    plan_df = reproject(
+        cells, src_t, "EPSG:4326", dst_t, "EPSG:3857", w, h, "average"
+    )
+    plan = plan_df._jdf.queryExecution().executedPlan().toString()
+    assert "Python" not in plan
+
+    # independent numpy: forward-project valid centers, bin, average
+    import collections
+
+    sums = collections.defaultdict(float)
+    cnts = collections.defaultdict(int)
+    rows = np.array([v[1] for v in vals if v[4]])
+    cols = np.array([v[2] for v in vals if v[4]])
+    vv = np.array([v[3] for v in vals if v[4]])
+    xs = src_t.a * (cols + 0.5) + src_t.c
+    ys = src_t.e * (rows + 0.5) + src_t.f
+    px, py = transform_points("EPSG:4326", "EPSG:3857", xs, ys)
+    dc = np.floor((px - dst_t.c) / dst_t.a).astype(int)
+    dr = np.floor((py - dst_t.f) / dst_t.e).astype(int)
+    for r_, c_, v_ in zip(dr, dc, vv):
+        if 0 <= r_ < h and 0 <= c_ < w:
+            sums[(r_, c_)] += v_
+            cnts[(r_, c_)] += 1
+    got = {(r_, c_): v_ for r_, c_, v_, vd in
+           zip(out["row"], out["col"], out["value"], out["valid"]) if vd}
+    expect = {k: round(sums[k] / cnts[k], 6) for k in cnts}
+    assert set(got) == set(expect)
+    for k in expect:
+        assert abs(got[k] - expect[k]) < 1e-6
+
+
+def test_reproject_area_methods_cross_crs(spark):
+    """The full area-method set (min/max/sum/rms/med/mode) bins the same
+    landed cells as average; each aggregate is verified against an
+    independent NumPy binning with downsample's tie/round semantics."""
+    import collections
+
+    from rasterio_spark.grid.affine import Affine
+    from rasterio_spark.operators.warp import calculate_default_transform, reproject
+
+    w0, h0 = 24, 12
+    src_t = Affine(0.25, 0.0, 4.0, 0.0, -0.25, 48.0)
+    vals = [
+        (1, r, c, float((r * 5 + c * 2) % 7), (r + c) % 6 != 0)
+        for r in range(h0)
+        for c in range(w0)
+    ]
+    cells = spark.createDataFrame(
+        vals, "band int, row int, col int, value double, valid boolean"
+    )
+    dst_t, w, h = calculate_default_transform(
+        "EPSG:4326", "EPSG:3857", w0, h0, 4.0, 45.0, 10.0, 48.0
+    )
+
+    rows = np.array([v[1] for v in vals if v[4]])
+    cols = np.array([v[2] for v in vals if v[4]])
+    vv = np.array([v[3] for v in vals if v[4]])
+    xs = src_t.a * (cols + 0.5) + src_t.c
+    ys = src_t.e * (rows + 0.5) + src_t.f
+    px, py = transform_points("EPSG:4326", "EPSG:3857", xs, ys)
+    dc = np.floor((px - dst_t.c) / dst_t.a).astype(int)
+    dr = np.floor((py - dst_t.f) / dst_t.e).astype(int)
+    binned = collections.defaultdict(list)
+    for r_, c_, v_ in zip(dr, dc, vv):
+        if 0 <= r_ < h and 0 <= c_ < w:
+            binned[(r_, c_)].append(v_)
+
+    def np_agg(method, xs_):
+        if method == "sum":
+            return sum(xs_)
+        if method == "min":
+            return min(xs_)
+        if method == "rms":
+            return round(float(np.sqrt(np.mean(np.square(xs_)))), 6)
+        if method == "med":
+            # Spark percentile(0.5): linear interpolation on sorted values
+            return round(float(np.percentile(xs_, 50, method="linear")), 6)
+        if method == "mode":
+            cnt = collections.Counter(xs_)
+            best = max(cnt.items(), key=lambda kv: (kv[1], -kv[0]))
+            return best[0]
+        raise AssertionError(method)
+
+    for method in ("sum", "min", "rms", "med", "mode"):
+        out = reproject(
+            cells, src_t, "EPSG:4326", dst_t, "EPSG:3857", w, h, method
+        ).toPandas()
+        got = {(r_, c_): v_ for r_, c_, v_, vd in
+               zip(out["row"], out["col"], out["value"], out["valid"]) if vd}
+        expect = {k: np_agg(method, xs_) for k, xs_ in binned.items()}
+        assert set(got) == set(expect), method
+        for k in expect:
+            assert abs(got[k] - expect[k]) < 1e-6, (method, k)
+
+
+def test_reproject_gauss_rejected(spark):
+    from rasterio_spark.grid.affine import Affine
+    from rasterio_spark.operators.warp import reproject
+
+    t = Affine(1.0, 0.0, 0.0, 0.0, -1.0, 1.0)
+    cells = spark.createDataFrame(
+        [(1, 0, 0, 1.0, True)], "band int, row int, col int, value double, valid boolean"
+    )
+    with pytest.raises(ValueError, match="overview-only"):
+        reproject(cells, t, "EPSG:4326", t, "EPSG:4326", 1, 1, "gauss")
+
+
 def test_reproject_3395_pure_jvm(spark):
     """reproject 4326 -> 3395 composes through transform_points_cols;
     the plan stays JVM-only (no Python eval nodes)."""
