@@ -85,7 +85,9 @@ def main(argv: list[str] | None = None) -> int:
         "instead of one scan per factor; avg/min/max/sum/count/rms only",
     )
     p.add_argument("--src-crs", default="EPSG:4326")
-    p.add_argument("--dst-crs", default="EPSG:3857")
+    # None default so `warp` can tell "reproject" from "downsample";
+    # the transform op falls back to EPSG:3857 like before.
+    p.add_argument("--dst-crs", default=None)
     p.add_argument("--dtype", default="double", help="convert: value cast type")
     p.add_argument("--block-shape", default="256,256", help="blocks: bh,bw")
     p.add_argument("--cores", type=int, default=None)
@@ -234,6 +236,7 @@ def main(argv: list[str] | None = None) -> int:
             spark.stop()
         return 0
 
+    warped_desc = None
     if args.op == "tile":
         from rasterio_spark.operators.tile import tile_pages
 
@@ -374,7 +377,10 @@ def main(argv: list[str] | None = None) -> int:
 
         pts = json.loads(args.points)
         xs, ys = transform_points(
-            args.src_crs, args.dst_crs, [p[0] for p in pts], [p[1] for p in pts]
+            args.src_crs,
+            args.dst_crs or "EPSG:3857",
+            [p[0] for p in pts],
+            [p[1] for p in pts],
         )
         print(json.dumps([[float(x), float(y)] for x, y in zip(xs, ys)]))
         if owned:
@@ -393,9 +399,56 @@ def main(argv: list[str] | None = None) -> int:
             v = v + args.scale_offset
         out = df.withColumn("value", v.cast(args.dtype))
     elif args.op == "warp":
-        from rasterio_spark.operators.warp import downsample
+        if args.dst_crs:
+            # rio warp --dst-crs parity: reproject the layer grid onto
+            # the suggested dst transform; resampling via --method
+            # (default nearest, like rio warp), full area/kernel set.
+            import dataclasses
 
-        out = downsample(spark.read.parquet(args.input), args.factor, args.method if args.method != "first" else "average")
+            from rasterio_spark.grid.crs import normalize_crs
+            from rasterio_spark.grid.transform import array_bounds
+            from rasterio_spark.operators.warp import (
+                calculate_default_transform,
+                reproject,
+            )
+            from rasterio_spark.sources.layers import read_descriptor
+
+            try:
+                desc = read_descriptor(args.input)
+            except FileNotFoundError:
+                print(
+                    "error: warp --dst-crs needs the source layer's "
+                    "_descriptor.json (grid transform/CRS/dims)",
+                    file=sys.stderr,
+                )
+                return 2
+            bounds = array_bounds(desc.height, desc.width, desc.transform)
+            dst_t, w, h = calculate_default_transform(
+                desc.crs, args.dst_crs, desc.width, desc.height, *bounds
+            )
+            method = "nearest" if args.method == "first" else args.method
+            out = reproject(
+                spark.read.parquet(args.input),
+                desc.transform,
+                desc.crs,
+                dst_t,
+                args.dst_crs,
+                w,
+                h,
+                method,
+                src_nodata=desc.nodata if desc.nodata is not None else 0.0,
+            )
+            warped_desc = dataclasses.replace(
+                desc,
+                crs=normalize_crs(args.dst_crs),
+                transform=dst_t,
+                width=w,
+                height=h,
+            )
+        else:
+            from rasterio_spark.operators.warp import downsample
+
+            out = downsample(spark.read.parquet(args.input), args.factor, args.method if args.method != "first" else "average")
     elif args.op == "calc":
         from rasterio_spark.operators.calc import calc
 
@@ -426,6 +479,10 @@ def main(argv: list[str] | None = None) -> int:
 
     if args.output:
         out.write.mode("overwrite").parquet(args.output)
+        if warped_desc is not None:
+            from rasterio_spark.sources.layers import write_descriptor
+
+            write_descriptor(args.output, warped_desc)
         print(json.dumps({"written": args.output}))
     else:
         for row in out.limit(args.limit).collect():

@@ -329,3 +329,88 @@ def test_minhash_production_width(spark):
 
     with pytest.raises(ValueError, match="must divide"):
         minhash_lsh_pairs(docs, num_perm=100, bands=16)
+
+
+# ------------------------------------------------- cli warp --dst-crs
+
+
+def test_cli_warp_dst_crs_reprojects(spark, tmp_path):
+    """`warp --dst-crs` now runs the full reprojection (rio warp
+    parity): suggested dst transform from the descriptor grid, output
+    descriptor rewritten with the new CRS/transform/dims; without
+    --dst-crs the op stays the factor downsample."""
+    import json
+
+    from rasterio_spark import cli
+    from rasterio_spark.grid.affine import Affine
+    from rasterio_spark.grid.transform import array_bounds
+    from rasterio_spark.operators.warp import (
+        calculate_default_transform,
+        reproject,
+    )
+    from rasterio_spark.sources.layers import LayerDescriptor, read_descriptor, write_descriptor
+
+    src = tmp_path / "src"
+    dst = tmp_path / "dst"
+    w0, h0 = 12, 6
+    t = Affine(0.5, 0.0, 8.0, 0.0, -0.5, 47.0)
+    cells = spark.createDataFrame(
+        [(1, r, c, float((r * 3 + c) % 9), True) for r in range(h0) for c in range(w0)],
+        "band int, row int, col int, value double, valid boolean",
+    )
+    cells.write.parquet(str(src))
+    desc = LayerDescriptor(width=w0, height=h0, crs="EPSG:4326", transform=t)
+    write_descriptor(str(src), desc)
+
+    rc = cli.main([
+        "warp", "--input", str(src), "--dst-crs", "EPSG:3857",
+        "--output", str(dst),
+    ])
+    assert rc == 0
+    d2 = read_descriptor(str(dst))
+    assert d2.crs == "EPSG:3857"
+    assert (d2.width, d2.height) != (0, 0)
+    got = spark.read.parquet(str(dst))
+    assert got.count() == d2.width * d2.height
+
+    # matches a direct reproject call with the same suggested transform
+    bounds = array_bounds(h0, w0, t)
+    dst_t, w, h = calculate_default_transform(
+        "EPSG:4326", "EPSG:3857", w0, h0, *bounds
+    )
+    assert (d2.width, d2.height) == (w, h)
+    assert list(d2.transform) == list(dst_t)
+    direct = reproject(cells, t, "EPSG:4326", dst_t, "EPSG:3857", w, h, "nearest")
+    a = {(r["band"], r["row"], r["col"]): (r["value"], r["valid"]) for r in direct.collect()}
+    b = {(r["band"], r["row"], r["col"]): (r["value"], r["valid"]) for r in got.collect()}
+    assert a == b
+
+
+def test_cli_warp_dst_crs_needs_descriptor(spark, tmp_path):
+    from rasterio_spark import cli
+
+    src = tmp_path / "bare"
+    spark.createDataFrame(
+        [(1, 0, 0, 1.0, True)],
+        "band int, row int, col int, value double, valid boolean",
+    ).write.parquet(str(src))
+    rc = cli.main(["warp", "--input", str(src), "--dst-crs", "EPSG:3857"])
+    assert rc == 2
+
+
+def test_cli_warp_without_dst_crs_still_downsamples(spark, tmp_path):
+    from rasterio_spark import cli
+
+    src = tmp_path / "ds"
+    dst = tmp_path / "ds_out"
+    spark.createDataFrame(
+        [(1, r, c, 2.0, True) for r in range(4) for c in range(4)],
+        "band int, row int, col int, value double, valid boolean",
+    ).write.parquet(str(src))
+    rc = cli.main([
+        "warp", "--input", str(src), "--factor", "2", "--output", str(dst),
+    ])
+    assert rc == 0
+    out = spark.read.parquet(str(dst))
+    assert out.count() == 4  # 4x4 -> 2x2 blocks
+    assert {r["value"] for r in out.collect()} == {2.0}
