@@ -110,6 +110,13 @@ def main(argv: list[str] | None = None) -> int:
     p.add_argument("--width", type=int, default=256, help="create: layer width")
     p.add_argument("--height", type=int, default=256, help="create: layer height")
     p.add_argument("--count", type=int, default=1, help="create: band count")
+    p.add_argument(
+        "--profile",
+        default=None,
+        help='create: JSON creation profile (rio --co twin); keys from '
+        "DefaultLayerProfile (dtype/count/nodata/blockxsize/blockysize/"
+        "compress/rows_per_file/crs/transform); overrides --count/--dtype",
+    )
     args = p.parse_args(argv)
 
     if args.op == "rm":
@@ -204,11 +211,26 @@ def main(argv: list[str] | None = None) -> int:
         empty = spark.createDataFrame(
             [], "band int, row int, col int, value double, valid boolean"
         )
-        empty.write.mode("error").parquet(args.output)
-        desc = LayerDescriptor(
-            width=args.width, height=args.height, count=args.count,
-            dtype=args.dtype, nodata=None,
-        )
+        if args.profile is not None:
+            # rio create --co twin: creation profile drives the header
+            # (DefaultLayerProfile defaults beneath) and the writer
+            from rasterio_spark.sources.profiles import (
+                DefaultLayerProfile,
+                layer_from_profile,
+                writer_options,
+            )
+
+            prof = DefaultLayerProfile(json.loads(args.profile))
+            empty.write.options(**writer_options(prof)).mode("error").parquet(
+                args.output
+            )
+            desc = layer_from_profile(prof, args.width, args.height)
+        else:
+            empty.write.mode("error").parquet(args.output)
+            desc = LayerDescriptor(
+                width=args.width, height=args.height, count=args.count,
+                dtype=args.dtype, nodata=None,
+            )
         write_descriptor(args.output, desc)
         print(json.dumps({"created": args.output, "descriptor": desc.to_dict()}))
         if owned:
