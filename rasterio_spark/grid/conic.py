@@ -1,0 +1,431 @@
+"""Conic and equal-area projected CRSs: Lambert Conformal Conic 2SP
+(EPSG:2154 RGF93 / Lambert-93), Albers Equal Area (EPSG:5070 NAD83 /
+Conus Albers), and Lambert Azimuthal Equal Area (EPSG:3035
+ETRS89-extended / LAEA Europe).
+
+The reference hands these to PROJ (rasterio/warp.py:151-409,
+rasterio/crs.pyx); this engine ships the closed-form EPSG Guidance
+Note 7-2 formulas instead, on the same pattern as grid/utm.py and
+grid/projections.py: ONE set of double-precision constants, derived
+once per EPSG code at import, generates three agreeing forms —
+vectorized NumPy, Spark Column expressions (pure JVM, whole-stage
+codegen), and DuckDB SQL strings.
+
+Datum note: 2154/5070/3035 are defined on GRS80 (RGF93/NAD83/ETRS89).
+GRS80 and WGS84 share a and differ in 1/f at the 12th digit
+(298.257222101 vs 298.257223563, < 0.1 mm anywhere on Earth); like
+PROJ's default null datum shift for these pairs, the engine computes
+on the WGS84 constants and documents the equivalence.
+
+Math, all public (EPSG GN7-2 §3.1.1 / §3.1.3 / §3.2.2; Snyder 1987
+eqs. 14-15..21, 3-11/3-12):
+
+- **LCC 2SP** is conformal: t(phi) = exp(-psi) with psi the isometric
+  latitude already shipped for Mercator/UPS; n, F, rho_F come from the
+  two standard parallels; the inverse recovers psi = -ln t' and reuses
+  utm.py's conformal-latitude series CHI_TO_PHI.
+- **Albers / LAEA** are equal-area: q(phi) = (1-e^2)[sin phi /
+  (1 - e^2 sin^2 phi) + atanh(e sin phi)/e], beta = asin(q/q_p). The
+  inverse needs the authalic-to-geographic series phi = beta + sum
+  c_j sin(2j beta); instead of transcribing tabulated coefficients,
+  the c_j are computed AT IMPORT by projecting the exact residual
+  phi(beta) - beta (Newton inversion of q) onto its sine basis — the
+  same series PROJ/Karney ("On auxiliary latitudes", 2023) expand
+  symbolically, here to machine precision for the one ellipsoid the
+  engine ships.
+"""
+
+from __future__ import annotations
+
+import math
+
+import numpy as np
+
+from rasterio_spark.grid.utm import (
+    A_WGS84,
+    CHI_TO_PHI,
+    D2R,
+    E_ECC,
+    _atanh,
+    _sinh,
+)
+
+E2 = E_ECC * E_ECC
+
+LCC_2154 = 2154
+ALBERS_5070 = 5070
+LAEA_3035 = 3035
+
+
+def _m(phi: float) -> float:
+    """Parallel-radius factor m = cos phi / sqrt(1 - e^2 sin^2 phi)."""
+    s = math.sin(phi)
+    return math.cos(phi) / math.sqrt(1.0 - E2 * s * s)
+
+
+def _t(phi: float) -> float:
+    """Conformal factor t = exp(-psi), psi the isometric latitude."""
+    s = math.sin(phi)
+    psi = math.asinh(math.tan(phi)) - E_ECC * math.atanh(E_ECC * s)
+    return math.exp(-psi)
+
+
+def _q(phi: float) -> float:
+    """Authalic-latitude kernel q (GN7-2 / Snyder eq. 3-12)."""
+    s = math.sin(phi)
+    return (1.0 - E2) * (s / (1.0 - E2 * s * s) + math.atanh(E_ECC * s) / E_ECC)
+
+
+_QP = _q(math.pi / 2.0)  # q at the pole
+
+
+def _authalic_series(nterms: int = 6) -> tuple[float, ...]:
+    """Coefficients c_j of phi = beta + sum_j c_j sin(2 j beta).
+
+    beta(phi) = asin(q(phi)/q_p) is exact; phi(beta) is recovered by
+    Newton (dq/dphi is closed-form), and the odd pi-periodic residual
+    phi - beta is projected onto sin(2 j beta) by midpoint quadrature.
+    Converges past float64 by j=5 for e ~ 0.08 (c_j ~ (e^2/3)^j)."""
+    nsamp = 2048
+    beta = (np.arange(nsamp) + 0.5) * (math.pi / 2.0) / nsamp
+    q_target = _QP * np.sin(beta)
+    phi = beta.copy()
+    for _ in range(50):
+        s = np.sin(phi)
+        q_cur = (1.0 - E2) * (s / (1.0 - E2 * s * s) + np.arctanh(E_ECC * s) / E_ECC)
+        # dq/dphi = 2 (1 - e^2) cos phi / (1 - e^2 sin^2 phi)^2 (exact)
+        dq = 2.0 * (1.0 - E2) * np.cos(phi) / (1.0 - E2 * s * s) ** 2
+        step = (q_target - q_cur) / dq
+        phi = phi + step
+        if np.max(np.abs(step)) < 1e-15:
+            break
+    resid = phi - beta
+    # c_j = (4/pi) * integral_0^{pi/2} resid(beta) sin(2 j beta) dbeta
+    w = (math.pi / 2.0) / nsamp
+    return tuple(
+        float((4.0 / math.pi) * np.sum(resid * np.sin(2.0 * j * beta)) * w)
+        for j in range(1, nterms + 1)
+    )
+
+
+BETA_TO_PHI = _authalic_series()
+
+
+def _lcc_consts(phi1_deg, phi2_deg, phif_deg, lamf_deg, fe, fn) -> dict:
+    phi1, phi2, phif = phi1_deg * D2R, phi2_deg * D2R, phif_deg * D2R
+    m1, m2 = _m(phi1), _m(phi2)
+    t1, t2, tf = _t(phi1), _t(phi2), _t(phif)
+    n = (math.log(m1) - math.log(m2)) / (math.log(t1) - math.log(t2))
+    f_ = m1 / (n * t1**n)
+    return {
+        "kind": "lcc",
+        "n": n,
+        "aF": A_WGS84 * f_,
+        "rho_f": A_WGS84 * f_ * tf**n,
+        "lam_f": lamf_deg * D2R,
+        "fe": float(fe),
+        "fn": float(fn),
+    }
+
+
+def _albers_consts(phi1_deg, phi2_deg, phif_deg, lamf_deg, fe, fn) -> dict:
+    phi1, phi2, phif = phi1_deg * D2R, phi2_deg * D2R, phif_deg * D2R
+    m1, m2 = _m(phi1), _m(phi2)
+    q1, q2, qf = _q(phi1), _q(phi2), _q(phif)
+    n = (m1 * m1 - m2 * m2) / (q2 - q1)
+    c = m1 * m1 + n * q1
+    return {
+        "kind": "albers",
+        "n": n,
+        "c": c,
+        "rho_f": A_WGS84 * math.sqrt(c - n * qf) / n,
+        "lam_f": lamf_deg * D2R,
+        "fe": float(fe),
+        "fn": float(fn),
+    }
+
+
+def _laea_consts(phi0_deg, lam0_deg, fe, fn) -> dict:
+    phi0 = phi0_deg * D2R
+    q0 = _q(phi0)
+    beta0 = math.asin(q0 / _QP)
+    rq = A_WGS84 * math.sqrt(_QP / 2.0)
+    d = A_WGS84 * _m(phi0) / (rq * math.cos(beta0))
+    return {
+        "kind": "laea",
+        "rq": rq,
+        "d": d,
+        "sb0": math.sin(beta0),
+        "cb0": math.cos(beta0),
+        "lam_0": lam0_deg * D2R,
+        "fe": float(fe),
+        "fn": float(fn),
+    }
+
+
+# EPSG registry parameters (public): 2154 RGF93/Lambert-93,
+# 5070 NAD83/Conus Albers, 3035 ETRS89-extended/LAEA Europe.
+PARAMS: dict[int, dict] = {
+    LCC_2154: _lcc_consts(44.0, 49.0, 46.5, 3.0, 700000.0, 6600000.0),
+    ALBERS_5070: _albers_consts(29.5, 45.5, 23.0, -96.0, 0.0, 0.0),
+    LAEA_3035: _laea_consts(52.0, 10.0, 4321000.0, 3210000.0),
+}
+
+
+def is_supported(code: int) -> bool:
+    return code in PARAMS
+
+
+# ----------------------------------------------------------------- numpy
+
+
+def _psi_np(lat_deg):
+    phi = np.asarray(lat_deg, dtype="float64") * D2R
+    return np.arcsinh(np.tan(phi)) - E_ECC * np.arctanh(E_ECC * np.sin(phi))
+
+
+def _q_np(lat_deg):
+    s = np.sin(np.asarray(lat_deg, dtype="float64") * D2R)
+    return (1.0 - E2) * (s / (1.0 - E2 * s * s) + np.arctanh(E_ECC * s) / E_ECC)
+
+
+def _chi_to_phi_np(chi):
+    phi = chi.copy()
+    for j, c in enumerate(CHI_TO_PHI, start=1):
+        phi = phi + c * np.sin(2 * j * chi)
+    return phi
+
+
+def _beta_to_phi_np(beta):
+    phi = beta.copy()
+    for j, c in enumerate(BETA_TO_PHI, start=1):
+        phi = phi + c * np.sin(2 * j * beta)
+    return phi
+
+
+def forward(lon, lat, code: int):
+    """(lon, lat) degrees -> projected (x, y) meters."""
+    p = PARAMS[code]
+    lon = np.asarray(lon, dtype="float64")
+    lat = np.asarray(lat, dtype="float64")
+    if p["kind"] == "lcc":
+        rho = p["aF"] * np.exp(-p["n"] * _psi_np(lat))
+        th = p["n"] * (lon * D2R - p["lam_f"])
+        return p["fe"] + rho * np.sin(th), p["fn"] + p["rho_f"] - rho * np.cos(th)
+    if p["kind"] == "albers":
+        rho = A_WGS84 * np.sqrt(p["c"] - p["n"] * _q_np(lat)) / p["n"]
+        th = p["n"] * (lon * D2R - p["lam_f"])
+        return p["fe"] + rho * np.sin(th), p["fn"] + p["rho_f"] - rho * np.cos(th)
+    # laea
+    beta = np.arcsin(np.clip(_q_np(lat) / _QP, -1.0, 1.0))
+    dl = lon * D2R - p["lam_0"]
+    sb, cb = np.sin(beta), np.cos(beta)
+    b = p["rq"] * np.sqrt(
+        2.0 / (1.0 + p["sb0"] * sb + p["cb0"] * cb * np.cos(dl))
+    )
+    x = p["fe"] + b * p["d"] * cb * np.sin(dl)
+    y = p["fn"] + (b / p["d"]) * (p["cb0"] * sb - p["sb0"] * cb * np.cos(dl))
+    return x, y
+
+
+def inverse(x, y, code: int):
+    """Projected (x, y) meters -> (lon, lat) degrees."""
+    p = PARAMS[code]
+    x = np.asarray(x, dtype="float64")
+    y = np.asarray(y, dtype="float64")
+    if p["kind"] in ("lcc", "albers"):
+        dx = x - p["fe"]
+        dy = p["rho_f"] - (y - p["fn"])
+        rho = np.hypot(dx, dy)  # n > 0 for all shipped codes
+        th = np.arctan2(dx, dy)
+        lam = th / p["n"] + p["lam_f"]
+        if p["kind"] == "lcc":
+            with np.errstate(divide="ignore"):
+                psi = -np.log(rho / p["aF"]) / p["n"]
+            chi = np.arctan(np.sinh(psi))
+            return lam / D2R, _chi_to_phi_np(chi) / D2R
+        qq = (p["c"] - (rho * p["n"] / A_WGS84) ** 2) / p["n"]
+        beta = np.arcsin(np.clip(qq / _QP, -1.0, 1.0))
+        return lam / D2R, _beta_to_phi_np(beta) / D2R
+    # laea
+    dx = (x - p["fe"]) / p["d"]
+    dy = (y - p["fn"]) * p["d"]
+    rho = np.hypot(dx, dy)
+    cc = 2.0 * np.arcsin(np.clip(rho / (2.0 * p["rq"]), -1.0, 1.0))
+    with np.errstate(invalid="ignore", divide="ignore"):
+        qq = _QP * (np.cos(cc) * p["sb0"] + dy * np.sin(cc) * p["cb0"] / rho)
+    qq = np.where(rho == 0.0, _QP * p["sb0"], qq)  # exact center
+    beta = np.arcsin(np.clip(qq / _QP, -1.0, 1.0))
+    lam = p["lam_0"] + np.arctan2(
+        dx * np.sin(cc),
+        rho * p["cb0"] * np.cos(cc) - dy * p["sb0"] * np.sin(cc),
+    )
+    lam = np.where(rho == 0.0, p["lam_0"], lam)
+    return lam / D2R, _beta_to_phi_np(beta) / D2R
+
+
+# ------------------------------------------------------------ Spark cols
+
+
+def _psi_cols(lat):
+    from pyspark.sql import functions as F
+
+    phi = lat * D2R
+    return F.asinh(F.tan(phi)) - E_ECC * F.atanh(F.sin(phi) * E_ECC)
+
+
+def _q_cols(lat):
+    from pyspark.sql import functions as F
+
+    s = F.sin(lat * D2R)
+    return (
+        (s / (F.lit(1.0) - s * s * E2) + F.atanh(s * E_ECC) / E_ECC) * (1.0 - E2)
+    )
+
+
+def _series_cols(x, coeffs):
+    from pyspark.sql import functions as F
+
+    out = x
+    for j, c in enumerate(coeffs, start=1):
+        out = out + F.lit(c) * F.sin(x * (2 * j))
+    return out
+
+
+def forward_cols(lon, lat, code: int):
+    """Spark Column (x, y) — pure JVM expressions, zero Python."""
+    from pyspark.sql import functions as F
+
+    p = PARAMS[code]
+    if p["kind"] == "lcc":
+        rho = F.exp(_psi_cols(lat) * (-p["n"])) * p["aF"]
+        th = (lon * D2R - p["lam_f"]) * p["n"]
+        return F.lit(p["fe"]) + rho * F.sin(th), F.lit(p["fn"] + p["rho_f"]) - rho * F.cos(th)
+    if p["kind"] == "albers":
+        rho = F.sqrt(F.lit(p["c"]) - _q_cols(lat) * p["n"]) * (A_WGS84 / p["n"])
+        th = (lon * D2R - p["lam_f"]) * p["n"]
+        return F.lit(p["fe"]) + rho * F.sin(th), F.lit(p["fn"] + p["rho_f"]) - rho * F.cos(th)
+    beta = F.asin(_q_cols(lat) / _QP)
+    dl = lon * D2R - p["lam_0"]
+    sb, cb = F.sin(beta), F.cos(beta)
+    b = F.sqrt(F.lit(2.0) / (F.lit(1.0) + sb * p["sb0"] + cb * F.cos(dl) * p["cb0"])) * p["rq"]
+    x = F.lit(p["fe"]) + b * cb * F.sin(dl) * p["d"]
+    y = F.lit(p["fn"]) + (b / p["d"]) * (sb * p["cb0"] - cb * F.cos(dl) * p["sb0"])
+    return x, y
+
+
+def inverse_cols(x, y, code: int):
+    """Spark Column (lon, lat) from projected coordinates."""
+    from pyspark.sql import functions as F
+
+    p = PARAMS[code]
+    if p["kind"] in ("lcc", "albers"):
+        dx = x - F.lit(p["fe"])
+        dy = F.lit(p["rho_f"]) - (y - F.lit(p["fn"]))
+        rho = F.sqrt(dx * dx + dy * dy)
+        lam = F.atan2(dx, dy) / p["n"] + p["lam_f"]
+        if p["kind"] == "lcc":
+            psi = F.log(rho / p["aF"]) * (-1.0 / p["n"])
+            chi = F.atan(F.sinh(psi))
+            return lam / D2R, _series_cols(chi, CHI_TO_PHI) / D2R
+        qq = (F.lit(p["c"]) - (rho * (p["n"] / A_WGS84)) * (rho * (p["n"] / A_WGS84))) / p["n"]
+        beta = F.asin(qq / _QP)
+        return lam / D2R, _series_cols(beta, BETA_TO_PHI) / D2R
+    dx = (x - F.lit(p["fe"])) / p["d"]
+    dy = (y - F.lit(p["fn"])) * p["d"]
+    rho = F.sqrt(dx * dx + dy * dy)
+    cc = F.asin(rho / (2.0 * p["rq"])) * 2.0
+    # rho == 0 (the exact projection center) -> beta_0, lam_0
+    qq = F.when(rho == 0.0, _QP * p["sb0"]).otherwise(
+        (F.cos(cc) * p["sb0"] + dy * F.sin(cc) * (p["cb0"]) / rho) * _QP
+    )
+    beta = F.asin(qq / _QP)
+    lam = F.when(rho == 0.0, p["lam_0"]).otherwise(
+        F.lit(p["lam_0"])
+        + F.atan2(dx * F.sin(cc), rho * F.cos(cc) * p["cb0"] - dy * F.sin(cc) * p["sb0"])
+    )
+    return lam / D2R, _series_cols(beta, BETA_TO_PHI) / D2R
+
+
+# ------------------------------------------------------------ DuckDB SQL
+
+
+def _psi_sql(lat_sql: str) -> str:
+    phi = f"(({lat_sql}) * {D2R!r})"
+    from rasterio_spark.grid.utm import _asinh
+
+    return f"({_asinh(f'tan({phi})')} - {E_ECC!r} * {_atanh(f'{E_ECC!r} * sin({phi})')})"
+
+
+def _q_sql(lat_sql: str) -> str:
+    s = f"sin(({lat_sql}) * {D2R!r})"
+    return (
+        f"({1.0 - E2!r} * ({s} / (1.0 - {E2!r} * {s} * {s})"
+        f" + {_atanh(f'{E_ECC!r} * {s}')} / {E_ECC!r}))"
+    )
+
+
+def _series_sql(x: str, coeffs) -> str:
+    out = x
+    for j, c in enumerate(coeffs, start=1):
+        out = f"({out} + {c!r} * sin({2 * j} * ({x})))"
+    return out
+
+
+def forward_sql(lon_sql: str, lat_sql: str, code: int) -> tuple[str, str]:
+    """DuckDB (x, y) expression strings — identical literal constants."""
+    p = PARAMS[code]
+    if p["kind"] == "lcc":
+        rho = f"({p['aF']!r} * exp(-{p['n']!r} * {_psi_sql(lat_sql)}))"
+        th = f"({p['n']!r} * (({lon_sql}) * {D2R!r} - {p['lam_f']!r}))"
+        return (
+            f"({p['fe']!r} + {rho} * sin({th}))",
+            f"({p['fn'] + p['rho_f']!r} - {rho} * cos({th}))",
+        )
+    if p["kind"] == "albers":
+        rho = f"({A_WGS84 / p['n']!r} * sqrt({p['c']!r} - {p['n']!r} * {_q_sql(lat_sql)}))"
+        th = f"({p['n']!r} * (({lon_sql}) * {D2R!r} - {p['lam_f']!r}))"
+        return (
+            f"({p['fe']!r} + {rho} * sin({th}))",
+            f"({p['fn'] + p['rho_f']!r} - {rho} * cos({th}))",
+        )
+    beta = f"asin({_q_sql(lat_sql)} / {_QP!r})"
+    dl = f"(({lon_sql}) * {D2R!r} - {p['lam_0']!r})"
+    b = (
+        f"({p['rq']!r} * sqrt(2.0 / (1.0 + {p['sb0']!r} * sin({beta})"
+        f" + {p['cb0']!r} * cos({beta}) * cos({dl}))))"
+    )
+    return (
+        f"({p['fe']!r} + {b} * {p['d']!r} * cos({beta}) * sin({dl}))",
+        f"({p['fn']!r} + ({b} / {p['d']!r}) * ({p['cb0']!r} * sin({beta})"
+        f" - {p['sb0']!r} * cos({beta}) * cos({dl})))",
+    )
+
+
+def inverse_sql(x_sql: str, y_sql: str, code: int) -> tuple[str, str]:
+    """DuckDB (lon, lat) expression strings from projected coordinates."""
+    p = PARAMS[code]
+    if p["kind"] in ("lcc", "albers"):
+        dx = f"(({x_sql}) - {p['fe']!r})"
+        dy = f"({p['rho_f']!r} - (({y_sql}) - {p['fn']!r}))"
+        rho = f"sqrt({dx} * {dx} + {dy} * {dy})"
+        lam = f"(atan2({dx}, {dy}) / {p['n']!r} + {p['lam_f']!r})"
+        if p["kind"] == "lcc":
+            psi = f"(-ln({rho} / {p['aF']!r}) / {p['n']!r})"
+            chi = f"atan({_sinh(psi)})"
+            return f"({lam} / {D2R!r})", f"({_series_sql(chi, CHI_TO_PHI)} / {D2R!r})"
+        qq = f"(({p['c']!r} - ({rho} * {p['n'] / A_WGS84!r}) ^ 2) / {p['n']!r})"
+        beta = f"asin({qq} / {_QP!r})"
+        return f"({lam} / {D2R!r})", f"({_series_sql(beta, BETA_TO_PHI)} / {D2R!r})"
+    dx = f"((({x_sql}) - {p['fe']!r}) / {p['d']!r})"
+    dy = f"((({y_sql}) - {p['fn']!r}) * {p['d']!r})"
+    rho = f"sqrt({dx} * {dx} + {dy} * {dy})"
+    cc = f"(2.0 * asin({rho} / {2.0 * p['rq']!r}))"
+    # no center-point guard in the SQL twin: oracle inputs avoid rho == 0
+    qq = f"({_QP!r} * (cos({cc}) * {p['sb0']!r} + {dy} * sin({cc}) * {p['cb0']!r} / {rho}))"
+    beta = f"asin({qq} / {_QP!r})"
+    lam = (
+        f"({p['lam_0']!r} + atan2({dx} * sin({cc}),"
+        f" {rho} * cos({cc}) * {p['cb0']!r} - {dy} * sin({cc}) * {p['sb0']!r}))"
+    )
+    return f"({lam} / {D2R!r})", f"({_series_sql(beta, BETA_TO_PHI)} / {D2R!r})"

@@ -3,7 +3,9 @@
 
 EPSG:4326 (lon/lat degrees) <-> EPSG:3857 (Web Mercator) here; the UTM
 series EPSG:326xx/327xx in grid/utm.py; EPSG:3395 (World Mercator) and
-the UPS pair EPSG:32661/32761 in grid/projections.py. Pure NumPy public
+the UPS pair EPSG:32661/32761 in grid/projections.py; the conic /
+equal-area family — EPSG:2154 (Lambert-93, LCC 2SP), EPSG:5070 (Conus
+Albers), EPSG:3035 (LAEA Europe) — in grid/conic.py. Pure NumPy public
 formulas; every projection is also emitted as Spark column expressions
 and DuckDB SQL so the whole warp stays JVM-side.
 
@@ -281,7 +283,8 @@ def _utm_code(normalized: str) -> int | None:
 
 def _proj_code(normalized: str) -> int | None:
     """EPSG code if `normalized` is a non-UTM projection the engine
-    ships (EPSG:3395 World Mercator, EPSG:32661/32761 UPS), else None."""
+    ships (EPSG:3395 World Mercator, EPSG:32661/32761 UPS, and the
+    conic/equal-area family 2154/5070/3035 in grid/conic.py), else None."""
     from rasterio_spark.grid import projections
 
     if not normalized.startswith("EPSG:"):
@@ -296,8 +299,9 @@ def _proj_code(normalized: str) -> int | None:
 def transform_points(src_crs: str, dst_crs: str, xs, ys):
     """Vectorized point transform between supported CRSs: EPSG:4326,
     EPSG:3857, the UTM series EPSG:326xx/327xx (Karney/Krueger
-    transverse-Mercator, grid/utm.py), EPSG:3395 (World Mercator), and
-    EPSG:32661/32761 (UPS, grid/projections.py). Arbitrary pairs compose
+    transverse-Mercator, grid/utm.py), EPSG:3395 (World Mercator),
+    EPSG:32661/32761 (UPS, grid/projections.py), and the conic/equal-area
+    family EPSG:2154/5070/3035 (grid/conic.py). Arbitrary pairs compose
     through geographic coordinates — the same hub-CRS pipeline PROJ builds."""
     from rasterio_spark.grid import projections, utm
 
@@ -321,7 +325,7 @@ def transform_points(src_crs: str, dst_crs: str, xs, ys):
         raise ValueError(
             f"unsupported CRS pair {s} -> {d} "
             "(engine ships EPSG:4326, EPSG:3857, UTM EPSG:326xx/327xx, "
-            "EPSG:3395, and UPS EPSG:32661/32761)"
+            "EPSG:3395, UPS EPSG:32661/32761, EPSG:2154, EPSG:5070, EPSG:3035)"
         )
 
     # geographic -> dst
@@ -338,7 +342,7 @@ def transform_points(src_crs: str, dst_crs: str, xs, ys):
     raise ValueError(
         f"unsupported CRS pair {s} -> {d} "
         "(engine ships EPSG:4326, EPSG:3857, UTM EPSG:326xx/327xx, "
-        "EPSG:3395, and UPS EPSG:32661/32761)"
+        "EPSG:3395, UPS EPSG:32661/32761, EPSG:2154, EPSG:5070, EPSG:3035)"
     )
 
 

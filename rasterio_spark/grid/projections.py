@@ -21,6 +21,11 @@ machinery as :mod:`rasterio_spark.grid.utm` (Karney 2011 series):
 Like utm.py, ONE set of constants generates three agreeing forms:
 vectorized NumPy, Spark Column expressions (pure JVM, whole-stage
 codegen), and DuckDB SQL twins (hyperbolics via exp/ln identities).
+
+The conic / equal-area family — EPSG:2154 (Lambert-93, LCC 2SP),
+EPSG:5070 (Conus Albers), EPSG:3035 (LAEA Europe) — lives in
+:mod:`rasterio_spark.grid.conic`; every entry point here delegates to
+it so the crs.py hub needs a single dispatch module.
 """
 
 from __future__ import annotations
@@ -54,7 +59,9 @@ UPS_SOUTH = 32761
 
 
 def is_supported(code: int) -> bool:
-    return code in (MERC_3395, UPS_NORTH, UPS_SOUTH)
+    from rasterio_spark.grid import conic
+
+    return code in (MERC_3395, UPS_NORTH, UPS_SOUTH) or conic.is_supported(code)
 
 
 # ----------------------------------------------------------------- numpy
@@ -76,6 +83,11 @@ def _chi_to_phi_np(chi):
 
 def forward(lon, lat, code: int):
     """(lon, lat) degrees -> projected (x, y) meters."""
+    from rasterio_spark.grid import conic
+
+    if conic.is_supported(code):
+        return conic.forward(lon, lat, code)
+
     lon = np.asarray(lon, dtype="float64")
     lat = np.asarray(lat, dtype="float64")
     if code == MERC_3395:
@@ -91,6 +103,11 @@ def forward(lon, lat, code: int):
 
 def inverse(x, y, code: int):
     """Projected (x, y) meters -> (lon, lat) degrees."""
+    from rasterio_spark.grid import conic
+
+    if conic.is_supported(code):
+        return conic.inverse(x, y, code)
+
     x = np.asarray(x, dtype="float64")
     y = np.asarray(y, dtype="float64")
     if code == MERC_3395:
@@ -131,6 +148,11 @@ def _chi_to_phi_cols(chi):
 
 def forward_cols(lon, lat, code: int):
     """Spark Column (x, y) — pure JVM expressions, zero Python."""
+    from rasterio_spark.grid import conic
+
+    if conic.is_supported(code):
+        return conic.forward_cols(lon, lat, code)
+
     from pyspark.sql import functions as F
 
     if code == MERC_3395:
@@ -145,6 +167,11 @@ def forward_cols(lon, lat, code: int):
 
 def inverse_cols(x, y, code: int):
     """Spark Column (lon, lat) from projected coordinates."""
+    from rasterio_spark.grid import conic
+
+    if conic.is_supported(code):
+        return conic.inverse_cols(x, y, code)
+
     from pyspark.sql import functions as F
 
     if code == MERC_3395:
@@ -181,6 +208,11 @@ def _chi_to_phi_sql(chi: str) -> str:
 
 def forward_sql(lon_sql: str, lat_sql: str, code: int) -> tuple[str, str]:
     """DuckDB (x, y) expression strings — identical literal constants."""
+    from rasterio_spark.grid import conic
+
+    if conic.is_supported(code):
+        return conic.forward_sql(lon_sql, lat_sql, code)
+
     if code == MERC_3395:
         return (
             f"(({lon_sql}) * {D2R * A_WGS84!r})",
@@ -199,6 +231,11 @@ def forward_sql(lon_sql: str, lat_sql: str, code: int) -> tuple[str, str]:
 
 def inverse_sql(x_sql: str, y_sql: str, code: int) -> tuple[str, str]:
     """DuckDB (lon, lat) expression strings from projected coordinates."""
+    from rasterio_spark.grid import conic
+
+    if conic.is_supported(code):
+        return conic.inverse_sql(x_sql, y_sql, code)
+
     if code == MERC_3395:
         chi = f"atan({_sinh(f'(({y_sql}) / {A_WGS84!r})')})"
         return (

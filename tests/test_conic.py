@@ -1,0 +1,247 @@
+"""Conic / equal-area projections: EPSG:2154 (Lambert-93, LCC 2SP),
+EPSG:5070 (Conus Albers), EPSG:3035 (LAEA Europe) — grid/conic.py.
+
+The reference hands these to PROJ (rasterio/warp.py:151-409, crs.pyx);
+the engine ships the EPSG GN7-2 closed forms. Anchors are mathematical
+invariants that uniquely characterize each projection (no memorized
+goldens needed):
+
+- conformality (LCC): local scale isotropic everywhere, exactly 1 on
+  both standard parallels;
+- equal-area (Albers/LAEA): |det J| == 1 against the ellipsoid surface
+  element M N cos(phi) everywhere;
+- false origin maps exactly to (FE, FN);
+- forward∘inverse == identity to < 1e-12 deg;
+- the import-time-fit authalic series matches Snyder 1987 eq. 3-18's
+  published coefficients to the e^8 truncation order;
+
+plus three-form agreement (NumPy / Spark Column / DuckDB SQL) and the
+composed hub dispatch through crs.transform_points*.
+"""
+
+import math
+
+import duckdb
+import numpy as np
+import pytest
+from hypothesis import given, settings
+from hypothesis import strategies as st
+
+from rasterio_spark.grid import conic as C
+from rasterio_spark.grid.crs import transform_points, transform_points_sql
+
+A, E2 = C.A_WGS84, C.E2
+E4, E6 = E2 * E2, E2 * E2 * E2
+
+# in-domain lon/lat boxes per CRS
+DOMAIN = {
+    2154: (-5.0, 10.0, 41.0, 51.5),
+    5070: (-125.0, -66.0, 24.0, 50.0),
+    3035: (-10.0, 35.0, 34.0, 72.0),
+}
+ORIGIN = {
+    2154: (3.0, 46.5, 700000.0, 6600000.0),
+    5070: (-96.0, 23.0, 0.0, 0.0),
+    3035: (10.0, 52.0, 4321000.0, 3210000.0),
+}
+
+
+def test_authalic_series_matches_snyder():
+    # Snyder 1987 eq. 3-18 (beta -> phi), truncated at e^6; the fit
+    # carries the e^8+ tail, so agreement is to truncation order.
+    c1 = E2 / 3 + 31 * E4 / 180 + 517 * E6 / 5040
+    c2 = 23 * E4 / 360 + 251 * E6 / 3780
+    c3 = 761 * E6 / 45360
+    assert abs(C.BETA_TO_PHI[0] - c1) < 5e-9
+    assert abs(C.BETA_TO_PHI[1] - c2) < 5e-9
+    assert abs(C.BETA_TO_PHI[2] - c3) < 5e-9
+    # and the tail the truncation misses is small but real
+    assert 0 < abs(C.BETA_TO_PHI[3]) < 1e-10
+
+
+@pytest.mark.parametrize("code", [2154, 5070, 3035])
+def test_false_origin_maps_exactly(code):
+    lonf, latf, fe, fn = ORIGIN[code]
+    x, y = C.forward(lonf, latf, code)
+    assert abs(float(x) - fe) < 1e-6 and abs(float(y) - fn) < 1e-6
+    lo, la = C.inverse(fe, fn, code)
+    assert abs(float(lo) - lonf) < 1e-9 and abs(float(la) - latf) < 1e-9
+
+
+@pytest.mark.parametrize("code", [2154, 5070, 3035])
+def test_roundtrip_grid(code):
+    l0, l1, b0, b1 = DOMAIN[code]
+    lon, lat = np.meshgrid(np.linspace(l0, l1, 21), np.linspace(b0, b1, 21))
+    x, y = C.forward(lon.ravel(), lat.ravel(), code)
+    lo, la = C.inverse(x, y, code)
+    assert np.abs(lo - lon.ravel()).max() < 1e-12
+    assert np.abs(la - lat.ravel()).max() < 1e-12
+
+
+def _local_scales(code, lon, lat, h=1e-6):
+    """(parallel scale, meridian scale, area scale) by finite differences
+    against the ellipsoid surface element."""
+    x0, y0 = (float(v) for v in C.forward(lon, lat, code))
+    xl, yl = (float(v) for v in C.forward(lon + h, lat, code))
+    xp, yp = (float(v) for v in C.forward(lon, lat + h, code))
+    phi = math.radians(lat)
+    s = math.sin(phi)
+    w = math.sqrt(1 - E2 * s * s)
+    n_rad = A / w
+    m_rad = A * (1 - E2) / w**3
+    dl, dp = math.radians(h), math.radians(h)
+    k_par = math.hypot(xl - x0, yl - y0) / (n_rad * math.cos(phi) * dl)
+    k_mer = math.hypot(xp - x0, yp - y0) / (m_rad * dp)
+    det = abs((xl - x0) * (yp - y0) - (xp - x0) * (yl - y0)) / (
+        n_rad * math.cos(phi) * dl * m_rad * dp
+    )
+    return k_par, k_mer, det
+
+
+def test_lcc_conformal_and_unit_scale_on_std_parallels():
+    for lat in (44.0, 49.0):  # standard parallels: k == 1
+        k_par, k_mer, _ = _local_scales(2154, 2.0, lat)
+        assert abs(k_par - 1.0) < 1e-7 and abs(k_mer - 1.0) < 1e-7
+    for lon, lat in ((-1.0, 42.5), (7.5, 50.5), (3.0, 46.5)):
+        k_par, k_mer, _ = _local_scales(2154, lon, lat)
+        assert abs(k_par - k_mer) < 1e-7  # isotropic = conformal
+    # between the parallels scale dips below 1, outside it exceeds 1
+    assert _local_scales(2154, 3.0, 46.5)[0] < 1.0 < _local_scales(2154, 3.0, 51.0)[0]
+
+
+@pytest.mark.parametrize("code", [5070, 3035])
+def test_equal_area_unit_jacobian(code):
+    l0, l1, b0, b1 = DOMAIN[code]
+    for lon in np.linspace(l0 + 1, l1 - 1, 5):
+        for lat in np.linspace(b0 + 1, b1 - 1, 5):
+            _, _, det = _local_scales(code, float(lon), float(lat))
+            assert abs(det - 1.0) < 1e-6
+
+
+def test_albers_unit_parallel_scale_on_std_parallels():
+    for lat in (29.5, 45.5):
+        k_par, _, _ = _local_scales(5070, -100.0, lat)
+        assert abs(k_par - 1.0) < 1e-7
+
+
+def test_known_city_boxes():
+    # parameter sanity vs publicly known coordinates (loose boxes)
+    x, y = C.forward(2.3522, 48.8566, 2154)  # Paris in Lambert-93
+    assert abs(float(x) - 652000) < 2000 and abs(float(y) - 6862000) < 2000
+    x, y = C.forward(13.4050, 52.5200, 3035)  # Berlin in LAEA Europe
+    assert abs(float(x) - 4552000) < 3000 and abs(float(y) - 3273000) < 3000
+
+
+@settings(max_examples=30, deadline=None)
+@given(
+    lon=st.floats(-124.0, -67.0),
+    lat=st.floats(25.0, 49.0),
+)
+def test_albers_roundtrip_property(lon, lat):
+    x, y = C.forward([lon], [lat], 5070)
+    lo, la = C.inverse(x, y, 5070)
+    assert abs(lo[0] - lon) < 1e-11 and abs(la[0] - lat) < 1e-11
+
+
+def test_laea_center_inverse_guard():
+    lo, la = C.inverse(4321000.0, 3210000.0, 3035)
+    assert abs(float(lo) - 10.0) < 1e-9 and abs(float(la) - 52.0) < 1e-9
+
+
+def test_spark_cols_match_numpy(spark):
+    from pyspark.sql import functions as F
+
+    rng = np.random.default_rng(7)
+    for code in (2154, 5070, 3035):
+        l0, l1, b0, b1 = DOMAIN[code]
+        lons = rng.uniform(l0, l1, 9)
+        lats = rng.uniform(b0, b1, 9)
+        df = spark.createDataFrame(
+            [(float(lo), float(la)) for lo, la in zip(lons, lats)],
+            "lon double, lat double",
+        )
+        ex, ny = C.forward_cols(F.col("lon"), F.col("lat"), code)
+        got = df.select(ex.alias("x"), ny.alias("y")).toPandas()
+        x_np, y_np = C.forward(lons, lats, code)
+        assert np.allclose(got["x"], x_np, atol=1e-6)
+        assert np.allclose(got["y"], y_np, atol=1e-6)
+        lx, ly = C.inverse_cols(F.lit(float(x_np[3])), F.lit(float(y_np[3])), code)
+        back = df.limit(1).select(lx.alias("lon"), ly.alias("lat")).toPandas()
+        assert abs(back["lon"][0] - lons[3]) < 1e-9
+        assert abs(back["lat"][0] - lats[3]) < 1e-9
+
+
+def test_duckdb_sql_match_numpy():
+    con = duckdb.connect()
+    rng = np.random.default_rng(11)
+    for code in (2154, 5070, 3035):
+        l0, l1, b0, b1 = DOMAIN[code]
+        lons = rng.uniform(l0, l1, 9)
+        lats = rng.uniform(b0, b1, 9)
+        con.execute("CREATE OR REPLACE TABLE pts(lon DOUBLE, lat DOUBLE)")
+        con.execute(
+            "INSERT INTO pts VALUES "
+            + ", ".join(f"({lo!r}, {la!r})" for lo, la in zip(lons, lats))
+        )
+        ex, ny = C.forward_sql("lon", "lat", code)
+        got = con.execute(
+            f"SELECT {ex} AS x, {ny} AS y FROM pts ORDER BY lon"
+        ).fetchall()
+        order = np.argsort(lons)
+        x_np, y_np = C.forward(lons[order], lats[order], code)
+        assert np.allclose([g[0] for g in got], x_np, atol=1e-6)
+        assert np.allclose([g[1] for g in got], y_np, atol=1e-6)
+        lx, ly = C.inverse_sql(
+            f"CAST({float(x_np[4])!r} AS DOUBLE)",
+            f"CAST({float(y_np[4])!r} AS DOUBLE)",
+            code,
+        )
+        lo, la = con.execute(f"SELECT {lx}, {ly}").fetchone()
+        assert abs(lo - lons[order][4]) < 1e-9 and abs(la - lats[order][4]) < 1e-9
+
+
+def test_hub_composition_and_sql_twin():
+    # 5070 -> 3035 composes through geographic in both engines
+    e, n = transform_points("EPSG:4326", "EPSG:5070", [-80.0], [40.0])
+    x, y = transform_points("EPSG:5070", "EPSG:3035", e, n)
+    lon, lat = transform_points("EPSG:3035", "EPSG:4326", x, y)
+    assert abs(lon[0] + 80.0) < 1e-9 and abs(lat[0] - 40.0) < 1e-9
+    con = duckdb.connect()
+    sx, sy = transform_points_sql(
+        "EPSG:5070",
+        "EPSG:3035",
+        f"CAST({float(e[0])!r} AS DOUBLE)",
+        f"CAST({float(n[0])!r} AS DOUBLE)",
+    )
+    gx, gy = con.execute(f"SELECT {sx}, {sy}").fetchone()
+    assert abs(gx - x[0]) < 1e-6 and abs(gy - y[0]) < 1e-6
+    # 2154 via UTM 31N (both cover France)
+    e31, n31 = transform_points("EPSG:2154", "EPSG:32631", [700000.0], [6600000.0])
+    lo, la = transform_points("EPSG:32631", "EPSG:4326", e31, n31)
+    assert abs(lo[0] - 3.0) < 1e-8 and abs(la[0] - 46.5) < 1e-8
+
+
+def test_reproject_cross_crs_pure_jvm_plan(spark):
+    """reproject 4326 -> 2154 keeps the whole plan JVM-side (no
+    BatchEvalPython / ArrowEvalPython), like the UTM pairs."""
+    from rasterio_spark.grid.affine import Affine
+    from rasterio_spark.operators.warp import calculate_default_transform, reproject
+
+    w0, h0 = 16, 8
+    src_t = Affine(0.5, 0.0, -2.0, 0.0, -0.5, 50.0)
+    cells = spark.createDataFrame(
+        [
+            (1, r, c, float((r * 5 + c) % 9), True)
+            for r in range(h0)
+            for c in range(w0)
+        ],
+        "band int, row int, col int, value double, valid boolean",
+    )
+    dst_t, w, h = calculate_default_transform(
+        "EPSG:4326", "EPSG:2154", w0, h0, -2.0, 46.0, 6.0, 50.0
+    )
+    out = reproject(cells, src_t, "EPSG:4326", dst_t, "EPSG:2154", w, h, "nearest")
+    plan = out._jdf.queryExecution().executedPlan().toString()
+    assert "EvalPython" not in plan
+    pdf = out.toPandas()
+    assert len(pdf) > 0 and pdf["value"].notna().any()
