@@ -1,7 +1,8 @@
 """Conic and equal-area projected CRSs: Lambert Conformal Conic 2SP
-(EPSG:2154 RGF93 / Lambert-93), Albers Equal Area (EPSG:5070 NAD83 /
-Conus Albers), and Lambert Azimuthal Equal Area (EPSG:3035
-ETRS89-extended / LAEA Europe).
+(EPSG:2154 RGF93 / Lambert-93, EPSG:3347 NAD83 / Statistics Canada
+Lambert), Albers Equal Area (EPSG:5070 NAD83 / Conus Albers, EPSG:3577
+GDA94 / Australian Albers — southern hemisphere, n < 0), and Lambert
+Azimuthal Equal Area (EPSG:3035 ETRS89-extended / LAEA Europe).
 
 The reference hands these to PROJ (rasterio/warp.py:151-409,
 rasterio/crs.pyx); this engine ships the closed-form EPSG Guidance
@@ -164,11 +165,15 @@ def _laea_consts(phi0_deg, lam0_deg, fe, fn) -> dict:
 
 
 # EPSG registry parameters (public): 2154 RGF93/Lambert-93,
-# 5070 NAD83/Conus Albers, 3035 ETRS89-extended/LAEA Europe.
+# 5070 NAD83/Conus Albers, 3035 ETRS89-extended/LAEA Europe,
+# 3347 NAD83/Statistics Canada Lambert, 3577 GDA94/Australian Albers
+# (southern hemisphere: n < 0 — the inverse flips rho/theta signs).
 PARAMS: dict[int, dict] = {
     LCC_2154: _lcc_consts(44.0, 49.0, 46.5, 3.0, 700000.0, 6600000.0),
     ALBERS_5070: _albers_consts(29.5, 45.5, 23.0, -96.0, 0.0, 0.0),
     LAEA_3035: _laea_consts(52.0, 10.0, 4321000.0, 3210000.0),
+    3347: _lcc_consts(49.0, 77.0, 63.390675, -91.0 - 52.0 / 60.0, 6200000.0, 3000000.0),
+    3577: _albers_consts(-18.0, -36.0, 0.0, 132.0, 0.0, 0.0),
 }
 
 
@@ -234,10 +239,11 @@ def inverse(x, y, code: int):
     x = np.asarray(x, dtype="float64")
     y = np.asarray(y, dtype="float64")
     if p["kind"] in ("lcc", "albers"):
+        sgn = 1.0 if p["n"] > 0 else -1.0  # GN7-2: rho' takes the sign of n
         dx = x - p["fe"]
         dy = p["rho_f"] - (y - p["fn"])
-        rho = np.hypot(dx, dy)  # n > 0 for all shipped codes
-        th = np.arctan2(dx, dy)
+        rho = sgn * np.hypot(dx, dy)
+        th = np.arctan2(sgn * dx, sgn * dy)
         lam = th / p["n"] + p["lam_f"]
         if p["kind"] == "lcc":
             with np.errstate(divide="ignore"):
@@ -320,10 +326,11 @@ def inverse_cols(x, y, code: int):
 
     p = PARAMS[code]
     if p["kind"] in ("lcc", "albers"):
+        sgn = 1.0 if p["n"] > 0 else -1.0  # GN7-2: rho' takes the sign of n
         dx = x - F.lit(p["fe"])
         dy = F.lit(p["rho_f"]) - (y - F.lit(p["fn"]))
-        rho = F.sqrt(dx * dx + dy * dy)
-        lam = F.atan2(dx, dy) / p["n"] + p["lam_f"]
+        rho = F.sqrt(dx * dx + dy * dy) * sgn
+        lam = F.atan2(dx * sgn, dy * sgn) / p["n"] + p["lam_f"]
         if p["kind"] == "lcc":
             psi = F.log(rho / p["aF"]) * (-1.0 / p["n"])
             chi = F.atan(F.sinh(psi))
@@ -406,10 +413,11 @@ def inverse_sql(x_sql: str, y_sql: str, code: int) -> tuple[str, str]:
     """DuckDB (lon, lat) expression strings from projected coordinates."""
     p = PARAMS[code]
     if p["kind"] in ("lcc", "albers"):
+        sgn = 1.0 if p["n"] > 0 else -1.0  # GN7-2: rho' takes the sign of n
         dx = f"(({x_sql}) - {p['fe']!r})"
         dy = f"({p['rho_f']!r} - (({y_sql}) - {p['fn']!r}))"
-        rho = f"sqrt({dx} * {dx} + {dy} * {dy})"
-        lam = f"(atan2({dx}, {dy}) / {p['n']!r} + {p['lam_f']!r})"
+        rho = f"({sgn!r} * sqrt({dx} * {dx} + {dy} * {dy}))"
+        lam = f"(atan2({sgn!r} * {dx}, {sgn!r} * {dy}) / {p['n']!r} + {p['lam_f']!r})"
         if p["kind"] == "lcc":
             psi = f"(-ln({rho} / {p['aF']!r}) / {p['n']!r})"
             chi = f"atan({_sinh(psi)})"

@@ -38,12 +38,17 @@ DOMAIN = {
     2154: (-5.0, 10.0, 41.0, 51.5),
     5070: (-125.0, -66.0, 24.0, 50.0),
     3035: (-10.0, 35.0, 34.0, 72.0),
+    3347: (-141.0, -52.0, 41.0, 84.0),
+    3577: (112.0, 155.0, -44.0, -9.0),
 }
 ORIGIN = {
     2154: (3.0, 46.5, 700000.0, 6600000.0),
     5070: (-96.0, 23.0, 0.0, 0.0),
     3035: (10.0, 52.0, 4321000.0, 3210000.0),
+    3347: (-91.0 - 52.0 / 60.0, 63.390675, 6200000.0, 3000000.0),
+    3577: (132.0, 0.0, 0.0, 0.0),
 }
+ALL_CODES = sorted(DOMAIN)
 
 
 def test_authalic_series_matches_snyder():
@@ -59,7 +64,7 @@ def test_authalic_series_matches_snyder():
     assert 0 < abs(C.BETA_TO_PHI[3]) < 1e-10
 
 
-@pytest.mark.parametrize("code", [2154, 5070, 3035])
+@pytest.mark.parametrize("code", ALL_CODES)
 def test_false_origin_maps_exactly(code):
     lonf, latf, fe, fn = ORIGIN[code]
     x, y = C.forward(lonf, latf, code)
@@ -68,7 +73,7 @@ def test_false_origin_maps_exactly(code):
     assert abs(float(lo) - lonf) < 1e-9 and abs(float(la) - latf) < 1e-9
 
 
-@pytest.mark.parametrize("code", [2154, 5070, 3035])
+@pytest.mark.parametrize("code", ALL_CODES)
 def test_roundtrip_grid(code):
     l0, l1, b0, b1 = DOMAIN[code]
     lon, lat = np.meshgrid(np.linspace(l0, l1, 21), np.linspace(b0, b1, 21))
@@ -109,7 +114,7 @@ def test_lcc_conformal_and_unit_scale_on_std_parallels():
     assert _local_scales(2154, 3.0, 46.5)[0] < 1.0 < _local_scales(2154, 3.0, 51.0)[0]
 
 
-@pytest.mark.parametrize("code", [5070, 3035])
+@pytest.mark.parametrize("code", [5070, 3035, 3577])
 def test_equal_area_unit_jacobian(code):
     l0, l1, b0, b1 = DOMAIN[code]
     for lon in np.linspace(l0 + 1, l1 - 1, 5):
@@ -152,7 +157,7 @@ def test_spark_cols_match_numpy(spark):
     from pyspark.sql import functions as F
 
     rng = np.random.default_rng(7)
-    for code in (2154, 5070, 3035):
+    for code in ALL_CODES:
         l0, l1, b0, b1 = DOMAIN[code]
         lons = rng.uniform(l0, l1, 9)
         lats = rng.uniform(b0, b1, 9)
@@ -174,7 +179,7 @@ def test_spark_cols_match_numpy(spark):
 def test_duckdb_sql_match_numpy():
     con = duckdb.connect()
     rng = np.random.default_rng(11)
-    for code in (2154, 5070, 3035):
+    for code in ALL_CODES:
         l0, l1, b0, b1 = DOMAIN[code]
         lons = rng.uniform(l0, l1, 9)
         lats = rng.uniform(b0, b1, 9)
@@ -245,3 +250,22 @@ def test_reproject_cross_crs_pure_jvm_plan(spark):
     assert "EvalPython" not in plan
     pdf = out.toPandas()
     assert len(pdf) > 0 and pdf["value"].notna().any()
+
+
+def test_southern_albers_std_parallels_and_sign():
+    # n < 0: unit parallel scale still holds on both standard parallels
+    for lat in (-18.0, -36.0):
+        k_par, _, _ = _local_scales(3577, 140.0, lat)
+        assert abs(k_par - 1.0) < 1e-7
+    assert C.PARAMS[3577]["n"] < 0
+    # Sydney lands east and well south of the natural origin
+    x, y = C.forward(151.2093, -33.8688, 3577)
+    assert float(x) > 1_500_000 and float(y) < -3_500_000
+
+
+def test_canada_lcc_conformal():
+    for lat in (49.0, 77.0):
+        k_par, k_mer, _ = _local_scales(3347, -95.0, lat)
+        assert abs(k_par - 1.0) < 1e-7 and abs(k_mer - 1.0) < 1e-7
+    k_par, k_mer, _ = _local_scales(3347, -120.0, 60.0)
+    assert abs(k_par - k_mer) < 1e-7
