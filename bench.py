@@ -537,35 +537,47 @@ def main() -> None:
     mp_log = os.path.join(bench_dir, "scaling_mp_log.jsonl")
     if os.path.exists(mp_log):
         all_recs = [json.loads(l) for l in open(mp_log)]
-        for job, out_key in (
+        for job, base_key in (
             ("pip", "scaling_multiproc"),
             ("dedup", "scaling_multiproc_dedup"),
             ("dedup128", "scaling_multiproc_dedup128"),
         ):
-            mrecs = [r for r in all_recs if r.get("job", "pip") == job]
-            mrecs = [r for r in mrecs if mrecs and r["n"] == mrecs[-1]["n"]]
-            if not mrecs:
-                continue
-            # calm-cycle filter (round-2 protocol): report only cycles
-            # whose host probes were all quiet, so a slow baseline in a
-            # degraded phase can't inflate the efficiency
-            calm = [
-                r
-                for r in mrecs
-                if max(r["probe_before"], r["probe_mid"], r["probe_after"]) <= 0.05
-            ]
-            pool = calm if calm else mrecs
-            best = max(pool, key=lambda r: r["eff"])
-            out[out_key] = {
-                "n_pages": best["n"],
-                "workers": best["workers"],
-                "tp1": best["tp1"],
-                "tp4": best["tp4"],
-                "efficiency": best["eff"],
-                "best_aggregate_rows_per_sec": max(r["tp4"] for r in pool),
-                "calm_cycles": len(calm),
-                "cycles": len(mrecs),
-            }
+            jrecs = [r for r in all_recs if r.get("job", "pip") == job]
+            # pinned (taskset-confined, honest core accounting) and
+            # free-floating cycles are different protocols with
+            # different tp1 baselines — summarize them separately
+            for pinned, out_key in ((False, base_key), (True, base_key + "_pinned")):
+                mrecs = [r for r in jrecs if bool(r.get("pinned")) == pinned]
+                mrecs = [r for r in mrecs if mrecs and r["n"] == mrecs[-1]["n"]]
+                if not mrecs:
+                    continue
+                # calm-cycle filter (round-2 protocol): report only cycles
+                # whose host probes were all quiet, so a slow baseline in a
+                # degraded phase can't inflate the efficiency
+                calm = [
+                    r
+                    for r in mrecs
+                    if max(r["probe_before"], r["probe_mid"], r["probe_after"]) <= 0.05
+                ]
+                pool = calm if calm else mrecs
+                best = max(pool, key=lambda r: r["eff"])
+                entry = {
+                    "n_pages": best["n"],
+                    "workers": best["workers"],
+                    "tp1": best["tp1"],
+                    "tp4": best["tp4"],
+                    "efficiency": best["eff"],
+                    "best_aggregate_rows_per_sec": max(r["tp4"] for r in pool),
+                    "calm_cycles": len(calm),
+                    "cycles": len(mrecs),
+                }
+                ctrls = [r["control_eff"] for r in pool if r.get("control_eff")]
+                if ctrls:
+                    # same-cycle numpy 8->32-process control: the host's
+                    # own ceiling in the window the cycle ran (read eff
+                    # against this, per BENCH/BASELINE.md)
+                    entry["numpy_control_eff_range"] = [min(ctrls), max(ctrls)]
+                out[out_key] = entry
     print(json.dumps(out))
     spark.stop()
 

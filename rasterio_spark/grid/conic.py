@@ -116,7 +116,11 @@ def _lcc_consts(phi1_deg, phi2_deg, phif_deg, lamf_deg, fe, fn) -> dict:
     phi1, phi2, phif = phi1_deg * D2R, phi2_deg * D2R, phif_deg * D2R
     m1, m2 = _m(phi1), _m(phi2)
     t1, t2, tf = _t(phi1), _t(phi2), _t(phif)
-    n = (math.log(m1) - math.log(m2)) / (math.log(t1) - math.log(t2))
+    if phi1_deg == phi2_deg:
+        # single-parallel limit (LCC 1SP with k0=1): n -> sin(phi1)
+        n = math.sin(phi1)
+    else:
+        n = (math.log(m1) - math.log(m2)) / (math.log(t1) - math.log(t2))
     f_ = m1 / (n * t1**n)
     return {
         "kind": "lcc",
@@ -133,7 +137,11 @@ def _albers_consts(phi1_deg, phi2_deg, phif_deg, lamf_deg, fe, fn) -> dict:
     phi1, phi2, phif = phi1_deg * D2R, phi2_deg * D2R, phif_deg * D2R
     m1, m2 = _m(phi1), _m(phi2)
     q1, q2, qf = _q(phi1), _q(phi2), _q(phif)
-    n = (m1 * m1 - m2 * m2) / (q2 - q1)
+    if phi1_deg == phi2_deg:
+        # single-parallel limit: n -> sin(phi1)
+        n = math.sin(phi1)
+    else:
+        n = (m1 * m1 - m2 * m2) / (q2 - q1)
     c = m1 * m1 + n * q1
     return {
         "kind": "albers",
@@ -177,7 +185,82 @@ PARAMS: dict[int, dict] = {
 }
 
 
-def is_supported(code: int) -> bool:
+# raw parameters behind each registry code (kind, lat_1, lat_2, lat_0,
+# lon_0, x_0, y_0; LAEA has no standard parallels) — used to normalize
+# a parameterized PROJ4 CRS back to its EPSG code when it matches.
+_RAW: dict[int, tuple] = {
+    LCC_2154: ("lcc", 44.0, 49.0, 46.5, 3.0, 700000.0, 6600000.0),
+    ALBERS_5070: ("aea", 29.5, 45.5, 23.0, -96.0, 0.0, 0.0),
+    LAEA_3035: ("laea", None, None, 52.0, 10.0, 4321000.0, 3210000.0),
+    3347: ("lcc", 49.0, 77.0, 63.390675, -91.0 - 52.0 / 60.0, 6200000.0, 3000000.0),
+    3577: ("aea", -18.0, -36.0, 0.0, 132.0, 0.0, 0.0),
+}
+
+
+def canonical_spec(kind: str, lat_1, lat_2, lat_0, lon_0, x_0, y_0) -> str:
+    """Deterministic "PROJ4:+proj=..." key for a parameterized conic /
+    equal-area CRS — the normalized-CRS string for non-EPSG params."""
+    parts = [f"+proj={kind}"]
+    if kind in ("lcc", "aea"):
+        parts.append(f"+lat_1={float(lat_1)!r} +lat_2={float(lat_2)!r}")
+    parts.append(
+        f"+lat_0={float(lat_0)!r} +lon_0={float(lon_0)!r} "
+        f"+x_0={float(x_0)!r} +y_0={float(y_0)!r}"
+    )
+    return "PROJ4:" + " ".join(parts)
+
+
+_BY_CANON: dict[str, int] = {canonical_spec(*raw): code for code, raw in _RAW.items()}
+_SPEC_CACHE: dict[str, dict] = {}
+
+
+def epsg_for_spec(spec: str) -> int | None:
+    """Registry EPSG code whose parameters exactly match `spec`."""
+    return _BY_CANON.get(spec)
+
+
+def _consts_for_spec(spec: str) -> dict:
+    """Derived projection constants for a canonical PROJ4 spec string
+    (cached: constants are pure functions of the parameters)."""
+    hit = _SPEC_CACHE.get(spec)
+    if hit is not None:
+        return hit
+    d = {}
+    kind = None
+    for tok in spec[len("PROJ4:"):].split():
+        key, _, val = tok.lstrip("+").partition("=")
+        if key == "proj":
+            kind = val
+        else:
+            d[key] = float(val)
+    if kind == "lcc":
+        out = _lcc_consts(d["lat_1"], d["lat_2"], d["lat_0"], d["lon_0"], d["x_0"], d["y_0"])
+    elif kind == "aea":
+        out = _albers_consts(d["lat_1"], d["lat_2"], d["lat_0"], d["lon_0"], d["x_0"], d["y_0"])
+    elif kind == "laea":
+        out = _laea_consts(d["lat_0"], d["lon_0"], d["x_0"], d["y_0"])
+    else:
+        raise ValueError(f"not a supported parameterized projection: {spec!r}")
+    _SPEC_CACHE[spec] = out
+    return out
+
+
+def _resolve(code) -> dict:
+    """Constants for an EPSG code (registry) or canonical spec string."""
+    if isinstance(code, str):
+        return _consts_for_spec(code)
+    return PARAMS[code]
+
+
+def is_supported(code) -> bool:
+    if isinstance(code, str):
+        if not code.startswith("PROJ4:"):
+            return False
+        try:
+            _consts_for_spec(code)
+            return True
+        except (ValueError, KeyError):
+            return False
     return code in PARAMS
 
 
@@ -208,9 +291,9 @@ def _beta_to_phi_np(beta):
     return phi
 
 
-def forward(lon, lat, code: int):
+def forward(lon, lat, code):
     """(lon, lat) degrees -> projected (x, y) meters."""
-    p = PARAMS[code]
+    p = _resolve(code)
     lon = np.asarray(lon, dtype="float64")
     lat = np.asarray(lat, dtype="float64")
     if p["kind"] == "lcc":
@@ -233,9 +316,9 @@ def forward(lon, lat, code: int):
     return x, y
 
 
-def inverse(x, y, code: int):
+def inverse(x, y, code):
     """Projected (x, y) meters -> (lon, lat) degrees."""
-    p = PARAMS[code]
+    p = _resolve(code)
     x = np.asarray(x, dtype="float64")
     y = np.asarray(y, dtype="float64")
     if p["kind"] in ("lcc", "albers"):
@@ -298,11 +381,11 @@ def _series_cols(x, coeffs):
     return out
 
 
-def forward_cols(lon, lat, code: int):
+def forward_cols(lon, lat, code):
     """Spark Column (x, y) — pure JVM expressions, zero Python."""
     from pyspark.sql import functions as F
 
-    p = PARAMS[code]
+    p = _resolve(code)
     if p["kind"] == "lcc":
         rho = F.exp(_psi_cols(lat) * (-p["n"])) * p["aF"]
         th = (lon * D2R - p["lam_f"]) * p["n"]
@@ -320,11 +403,11 @@ def forward_cols(lon, lat, code: int):
     return x, y
 
 
-def inverse_cols(x, y, code: int):
+def inverse_cols(x, y, code):
     """Spark Column (lon, lat) from projected coordinates."""
     from pyspark.sql import functions as F
 
-    p = PARAMS[code]
+    p = _resolve(code)
     if p["kind"] in ("lcc", "albers"):
         sgn = 1.0 if p["n"] > 0 else -1.0  # GN7-2: rho' takes the sign of n
         dx = x - F.lit(p["fe"])
@@ -379,9 +462,9 @@ def _series_sql(x: str, coeffs) -> str:
     return out
 
 
-def forward_sql(lon_sql: str, lat_sql: str, code: int) -> tuple[str, str]:
+def forward_sql(lon_sql: str, lat_sql: str, code) -> tuple[str, str]:
     """DuckDB (x, y) expression strings — identical literal constants."""
-    p = PARAMS[code]
+    p = _resolve(code)
     if p["kind"] == "lcc":
         rho = f"({p['aF']!r} * exp(-{p['n']!r} * {_psi_sql(lat_sql)}))"
         th = f"({p['n']!r} * (({lon_sql}) * {D2R!r} - {p['lam_f']!r}))"
@@ -409,9 +492,9 @@ def forward_sql(lon_sql: str, lat_sql: str, code: int) -> tuple[str, str]:
     )
 
 
-def inverse_sql(x_sql: str, y_sql: str, code: int) -> tuple[str, str]:
+def inverse_sql(x_sql: str, y_sql: str, code) -> tuple[str, str]:
     """DuckDB (lon, lat) expression strings from projected coordinates."""
-    p = PARAMS[code]
+    p = _resolve(code)
     if p["kind"] in ("lcc", "albers"):
         sgn = 1.0 if p["n"] > 0 else -1.0  # GN7-2: rho' takes the sign of n
         dx = f"(({x_sql}) - {p['fe']!r})"

@@ -114,6 +114,61 @@ def from_dict(initialdata=None, **kwargs) -> str:
             raise CRSError(f"unsupported UTM datum {d!r} (engine ships WGS84 only)")
         south = bool(d.get("south", False))
         return f"EPSG:{(32700 if south else 32600) + zone}"
+    if proj in ("lcc", "aea", "laea"):
+        # parameterized conic / equal-area CRS (grid/conic.py): exact
+        # registry matches normalize to their EPSG code; other params
+        # normalize to a canonical "PROJ4:+proj=..." spec the transform
+        # hub resolves dynamically. WGS84/GRS80-family datums only
+        # (GRS80 == WGS84 to < 0.1 mm; see conic.py datum note).
+        from rasterio_spark.grid import conic
+
+        rest = dict(d)
+        rest.pop("proj", None)
+        datum = str(rest.pop("datum", "WGS84")).upper()
+        ellps = str(rest.pop("ellps", "GRS80")).upper()
+        if datum not in ("WGS84", "NAD83", "ETRS89", "GDA94") or ellps not in (
+            "WGS84",
+            "GRS80",
+        ):
+            raise CRSError(
+                f"unsupported datum/ellipsoid {d!r} (engine ships the "
+                "WGS84/GRS80 family only)"
+            )
+        tw = str(rest.pop("towgs84", "0")).split(",")
+        if any(float(v or 0) != 0.0 for v in tw):
+            raise CRSError(f"nonzero +towgs84 shift unsupported: {d!r}")
+        units = str(rest.pop("units", "m")).lower()
+        if units != "m":
+            raise CRSError(f"unsupported units {units!r} (meters only)")
+        k0 = float(rest.pop("k_0", rest.pop("k", 1.0) or 1.0))
+        if k0 != 1.0:
+            raise CRSError(f"scale factor k_0 != 1 unsupported for {proj}: {d!r}")
+        try:
+            lat_0 = float(rest.pop("lat_0", 0.0))
+            lon_0 = float(rest.pop("lon_0", 0.0))
+            x_0 = float(rest.pop("x_0", 0.0))
+            y_0 = float(rest.pop("y_0", 0.0))
+            if proj == "laea":
+                lat_1 = lat_2 = None
+            else:
+                lat_1 = float(rest.pop("lat_1", lat_0))
+                lat_2 = float(rest.pop("lat_2", lat_1))
+        except (TypeError, ValueError):
+            raise CRSError(f"non-numeric projection parameter in {d!r}")
+        if rest:
+            raise CRSError(
+                f"unsupported +{proj} parameters {sorted(rest)} in {d!r}"
+            )
+        spec = conic.canonical_spec(proj, lat_1, lat_2, lat_0, lon_0, x_0, y_0)
+        try:
+            # eager validation: degenerate cones (equator-symmetric or
+            # zero parallels -> n == 0, i.e. a cylinder) error here,
+            # not at first transform
+            conic._consts_for_spec(spec)
+        except (ValueError, ZeroDivisionError) as exc:
+            raise CRSError(f"invalid {proj} parameters {d!r}: {exc}")
+        code = conic.epsg_for_spec(spec)
+        return f"EPSG:{code}" if code is not None else spec
     raise CRSError(
         f"unsupported PROJ dict {d!r}: engine CRSs are EPSG-addressable "
         "(use init='epsg:n' or an EPSG string)"
@@ -125,6 +180,10 @@ def from_proj4(proj: str) -> str:
     from_proj4, incl. its drop-'false'-valued-params filter)."""
     if not isinstance(proj, str) or not proj.strip():
         raise CRSError(f"CRS is empty or invalid: {proj!r}")
+    proj = proj.strip()
+    if proj.startswith("PROJ4:"):
+        # the engine's own canonical parameterized-CRS form round-trips
+        proj = proj[len("PROJ4:"):]
     d: dict = {}
     for tok in proj.strip().split():
         tok = tok.lstrip("+")
@@ -281,12 +340,16 @@ def _utm_code(normalized: str) -> int | None:
     return code if utm.is_utm(code) else None
 
 
-def _proj_code(normalized: str) -> int | None:
-    """EPSG code if `normalized` is a non-UTM projection the engine
-    ships (EPSG:3395 World Mercator, EPSG:32661/32761 UPS, and the
-    conic/equal-area family 2154/5070/3035 in grid/conic.py), else None."""
+def _proj_code(normalized: str) -> int | str | None:
+    """Projection spec if `normalized` is a non-UTM projection the
+    engine ships: the EPSG code (EPSG:3395 World Mercator,
+    EPSG:32661/32761 UPS, the conic/equal-area registry in
+    grid/conic.py), or the canonical "PROJ4:..." string itself for a
+    parameterized conic/equal-area CRS; else None."""
     from rasterio_spark.grid import projections
 
+    if normalized.startswith("PROJ4:"):
+        return normalized if projections.is_supported(normalized) else None
     if not normalized.startswith("EPSG:"):
         return None
     try:

@@ -269,3 +269,107 @@ def test_canada_lcc_conformal():
         assert abs(k_par - 1.0) < 1e-7 and abs(k_mer - 1.0) < 1e-7
     k_par, k_mer, _ = _local_scales(3347, -120.0, 60.0)
     assert abs(k_par - k_mer) < 1e-7
+
+
+# ---------------------------------------------------- parameterized CRS
+
+
+def test_proj4_registry_match_normalizes_to_epsg():
+    from rasterio_spark.grid.crs import from_user_input
+
+    # the published PROJ4 of EPSG:2154 / 5070 / 3577
+    assert from_user_input(
+        "+proj=lcc +lat_0=46.5 +lon_0=3 +lat_1=44 +lat_2=49 +x_0=700000 "
+        "+y_0=6600000 +ellps=GRS80 +towgs84=0,0,0,0,0,0,0 +units=m +no_defs"
+    ) == "EPSG:2154"
+    assert from_user_input(
+        "+proj=aea +lat_0=23 +lon_0=-96 +lat_1=29.5 +lat_2=45.5 +x_0=0 "
+        "+y_0=0 +datum=NAD83 +units=m +no_defs"
+    ) == "EPSG:5070"
+    assert from_user_input(
+        "+proj=aea +lat_0=0 +lon_0=132 +lat_1=-18 +lat_2=-36 +x_0=0 +y_0=0 "
+        "+ellps=GRS80 +towgs84=0,0,0,0,0,0,0 +units=m +no_defs"
+    ) == "EPSG:3577"
+
+
+def test_proj4_custom_params_transform_and_roundtrip():
+    from rasterio_spark.grid.crs import from_user_input, normalize_crs, transform_points
+
+    tx = from_user_input(
+        "+proj=lcc +lat_1=28.383333 +lat_2=30.283333 +lat_0=27.833333 "
+        "+lon_0=-99 +x_0=600000 +y_0=4000000 +datum=NAD83 +units=m"
+    )
+    assert tx.startswith("PROJ4:+proj=lcc")
+    assert normalize_crs(tx) == tx  # canonical form is idempotent
+    x, y = transform_points("EPSG:4326", tx, [-99.0], [27.833333])
+    assert abs(x[0] - 600000.0) < 1e-6 and abs(y[0] - 4000000.0) < 1e-5
+    x, y = transform_points("EPSG:4326", tx, [-96.0], [28.5])
+    lon, lat = transform_points(tx, "EPSG:4326", x, y)
+    assert abs(lon[0] + 96.0) < 1e-9 and abs(lat[0] - 28.5) < 1e-9
+    # custom equal-area CRS keeps the equal-area invariant
+    ak = from_user_input(
+        "+proj=aea +lat_1=55 +lat_2=65 +lat_0=50 +lon_0=-154 +ellps=GRS80"
+    )
+    x0, y0 = transform_points("EPSG:4326", ak, [-150.0], [60.0])
+    xl, yl = transform_points("EPSG:4326", ak, [-150.0 + 1e-6], [60.0])
+    xp, yp = transform_points("EPSG:4326", ak, [-150.0], [60.0 + 1e-6])
+    phi = math.radians(60.0)
+    s = math.sin(phi)
+    w = math.sqrt(1 - E2 * s * s)
+    area_elem = (A / w) * math.cos(phi) * (A * (1 - E2) / w**3) * math.radians(1e-6) ** 2
+    det = abs((xl[0] - x0[0]) * (yp[0] - y0[0]) - (xp[0] - x0[0]) * (yl[0] - y0[0]))
+    assert abs(det / area_elem - 1.0) < 1e-5
+
+
+def test_proj4_single_parallel_limit_is_conformal():
+    from rasterio_spark.grid import conic as CC
+
+    spec = CC.canonical_spec("lcc", 45.0, 45.0, 45.0, 0.0, 0.0, 0.0)
+    assert CC.is_supported(spec)
+    p = CC._resolve(spec)
+    assert abs(p["n"] - math.sin(math.radians(45.0))) < 1e-15
+    # k == 1 exactly on the single standard parallel
+    h = 1e-6
+    x0, y0 = (float(v) for v in CC.forward(0.0, 45.0, spec))
+    xl, yl = (float(v) for v in CC.forward(h, 45.0, spec))
+    phi = math.radians(45.0)
+    s = math.sin(phi)
+    n_rad = A / math.sqrt(1 - E2 * s * s)
+    k_par = math.hypot(xl - x0, yl - y0) / (n_rad * math.cos(phi) * math.radians(h))
+    assert abs(k_par - 1.0) < 1e-7
+
+
+def test_proj4_custom_three_forms_agree(spark):
+    from pyspark.sql import functions as F
+    from rasterio_spark.grid import conic as CC
+
+    spec = CC.canonical_spec("laea", None, None, 45.0, -100.0, 1000000.0, 2000000.0)
+    lons = np.linspace(-110, -90, 7)
+    lats = np.linspace(38, 52, 7)
+    x_np, y_np = CC.forward(lons, lats, spec)
+    df = spark.createDataFrame(
+        [(float(lo), float(la)) for lo, la in zip(lons, lats)],
+        "lon double, lat double",
+    )
+    ex, ny = CC.forward_cols(F.col("lon"), F.col("lat"), spec)
+    got = df.select(ex.alias("x"), ny.alias("y")).toPandas()
+    assert np.allclose(got["x"], x_np, atol=1e-6)
+    assert np.allclose(got["y"], y_np, atol=1e-6)
+    con = duckdb.connect()
+    sx, sy = CC.forward_sql(str(float(lons[3])), str(float(lats[3])), spec)
+    gx, gy = con.execute(f"SELECT {sx}, {sy}").fetchone()
+    assert abs(gx - x_np[3]) < 1e-6 and abs(gy - y_np[3]) < 1e-6
+
+
+def test_proj4_rejections():
+    from rasterio_spark.grid.crs import CRSError, from_user_input
+
+    for bad in (
+        "+proj=lcc +lat_1=30 +lat_2=40 +k_0=0.99 +ellps=GRS80",
+        "+proj=aea +lat_1=20 +lat_2=30 +ellps=clrk66",
+        "+proj=lcc +lat_1=30 +lat_2=40 +towgs84=1,2,3",
+        "+proj=lcc +lat_1=30 +lat_2=40 +weird=1",
+        "+proj=lcc +lat_1=abc +lat_2=40",
+    ):
+        with pytest.raises(CRSError):
+            from_user_input(bad)

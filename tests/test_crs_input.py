@@ -82,8 +82,9 @@ def test_from_proj4_strings():
     ) == "EPSG:3857"
     # reference's false-valued-param filter
     assert from_proj4("+proj=longlat +datum=WGS84 +over=false") == "EPSG:4326"
-    with pytest.raises(CRSError):
-        from_proj4("+proj=lcc +lat_1=33 +lat_2=45")  # not EPSG-addressable here
+    # r5: parameterized conic CRSs normalize to a canonical spec the
+    # transform hub resolves (grid/conic.py)
+    assert from_proj4("+proj=lcc +lat_1=33 +lat_2=45").startswith("PROJ4:+proj=lcc")
     with pytest.raises(CRSError):
         from_proj4("")
 
@@ -96,7 +97,7 @@ def test_from_dict():
     with pytest.raises(CRSError):
         from_dict({})
     with pytest.raises(CRSError):
-        from_dict({"proj": "lcc"})
+        from_dict({"proj": "lcc"})  # degenerate: equator parallels -> cylinder
 
 
 def test_from_wkt():
