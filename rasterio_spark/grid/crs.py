@@ -114,13 +114,15 @@ def from_dict(initialdata=None, **kwargs) -> str:
             raise CRSError(f"unsupported UTM datum {d!r} (engine ships WGS84 only)")
         south = bool(d.get("south", False))
         return f"EPSG:{(32700 if south else 32600) + zone}"
-    if proj in ("lcc", "aea", "laea"):
-        # parameterized conic / equal-area CRS (grid/conic.py): exact
-        # registry matches normalize to their EPSG code; other params
-        # normalize to a canonical "PROJ4:+proj=..." spec the transform
-        # hub resolves dynamically. WGS84/GRS80-family datums only
-        # (GRS80 == WGS84 to < 0.1 mm; see conic.py datum note).
-        from rasterio_spark.grid import conic
+    if proj in ("lcc", "aea", "laea", "tmerc"):
+        # parameterized conic / equal-area / transverse-Mercator CRS
+        # (grid/conic.py, grid/utm.py): exact registry matches
+        # normalize to their EPSG code (incl. tmerc params that spell
+        # a UTM zone or NZTM2000); other params normalize to a
+        # canonical "PROJ4:+proj=..." spec the transform hub resolves
+        # dynamically. WGS84/GRS80-family datums only (GRS80 == WGS84
+        # to < 0.1 mm; see conic.py datum note).
+        from rasterio_spark.grid import conic, utm
 
         rest = dict(d)
         rest.pop("proj", None)
@@ -141,14 +143,17 @@ def from_dict(initialdata=None, **kwargs) -> str:
         if units != "m":
             raise CRSError(f"unsupported units {units!r} (meters only)")
         k0 = float(rest.pop("k_0", rest.pop("k", 1.0) or 1.0))
-        if k0 != 1.0:
+        if proj != "tmerc" and k0 != 1.0:
+            # tmerc takes a real scale factor; the conic 2SP forms do not
             raise CRSError(f"scale factor k_0 != 1 unsupported for {proj}: {d!r}")
+        if proj == "tmerc" and not 0.0 < k0 <= 2.0:
+            raise CRSError(f"tmerc scale factor out of range: {k0!r}")
         try:
             lat_0 = float(rest.pop("lat_0", 0.0))
             lon_0 = float(rest.pop("lon_0", 0.0))
             x_0 = float(rest.pop("x_0", 0.0))
             y_0 = float(rest.pop("y_0", 0.0))
-            if proj == "laea":
+            if proj in ("laea", "tmerc"):
                 lat_1 = lat_2 = None
             else:
                 lat_1 = float(rest.pop("lat_1", lat_0))
@@ -159,6 +164,10 @@ def from_dict(initialdata=None, **kwargs) -> str:
             raise CRSError(
                 f"unsupported +{proj} parameters {sorted(rest)} in {d!r}"
             )
+        if proj == "tmerc":
+            spec = utm.tm_canonical_spec(lat_0, lon_0, k0, x_0, y_0)
+            code = utm.tm_epsg_for_spec(spec)
+            return f"EPSG:{code}" if code is not None else spec
         spec = conic.canonical_spec(proj, lat_1, lat_2, lat_0, lon_0, x_0, y_0)
         try:
             # eager validation: degenerate cones (equator-symmetric or
@@ -327,17 +336,22 @@ def is_geographic(crs) -> bool:
     return normalize_crs(crs) == "EPSG:4326"
 
 
-def _utm_code(normalized: str) -> int | None:
-    """EPSG code if `normalized` is a UTM CRS (326xx/327xx), else None."""
+def _utm_code(normalized: str) -> int | str | None:
+    """Transverse-Mercator spec if `normalized` is a TM CRS the engine
+    resolves: the EPSG code (UTM 326xx/327xx, the named TM registry
+    e.g. 2193 NZTM2000), or the canonical "PROJ4:+proj=tmerc ..."
+    string itself for parameterized TM; else None."""
     from rasterio_spark.grid import utm
 
+    if normalized.startswith("PROJ4:+proj=tmerc"):
+        return normalized if utm.is_tm(normalized) else None
     if not normalized.startswith("EPSG:"):
         return None
     try:
         code = int(normalized.split(":", 1)[1])
     except ValueError:
         return None
-    return code if utm.is_utm(code) else None
+    return code if utm.is_tm(code) else None
 
 
 def _proj_code(normalized: str) -> int | str | None:

@@ -84,7 +84,97 @@ def utm_epsg_params(code: int) -> tuple[float, float] | None:
 
 
 def is_utm(code: int) -> bool:
-    return utm_epsg_params(code) is not None
+    return isinstance(code, int) and utm_epsg_params(code) is not None
+
+
+# ------------------------------------------------- generalized tmerc
+#
+# The Krueger series is parameterized by (lon0, k0, fe, fn_eff): any
+# transverse-Mercator CRS is E = fe + k0*A*eta, N = fn_eff + k0*A*xi
+# with fn_eff = y_0 - k0*A*mu(lat_0) folding the natural-origin
+# latitude into a northing shift (mu = rectifying latitude = xi at
+# lam=0, so the series needs no other change). UTM is the special case
+# (zone meridian, 0.9996, 500000, 0 or 1e7).
+
+
+def _mu(lat0_deg: float) -> float:
+    """Rectifying latitude of lat_0 (the xi series at lam=0)."""
+    phi = float(lat0_deg) * D2R
+    t = math.sinh(math.asinh(math.tan(phi)) - E_ECC * math.atanh(E_ECC * math.sin(phi)))
+    xi_p = math.atan(t)
+    xi = xi_p
+    for j, a in enumerate(ALPHA, start=1):
+        xi += a * math.sin(2 * j * xi_p)
+    return xi
+
+
+def tm_canonical_spec(lat_0, lon_0, k_0, x_0, y_0) -> str:
+    """Deterministic "PROJ4:+proj=tmerc ..." key for a parameterized
+    transverse-Mercator CRS (crs.from_dict normalization target)."""
+    return (
+        f"PROJ4:+proj=tmerc +lat_0={float(lat_0)!r} +lon_0={float(lon_0)!r} "
+        f"+k_0={float(k_0)!r} +x_0={float(x_0)!r} +y_0={float(y_0)!r}"
+    )
+
+
+# named TM registry beyond the UTM series: EPSG:2193 NZGD2000 / New
+# Zealand Transverse Mercator 2000 (NZGD2000 == GRS80 family)
+_TM_RAW: dict[int, tuple] = {
+    2193: (0.0, 173.0, 0.9996, 1600000.0, 10000000.0),
+}
+_TM_BY_CANON: dict[str, int] = {
+    tm_canonical_spec(*raw): code for code, raw in _TM_RAW.items()
+}
+# UTM zones expressed as raw tmerc parameters also normalize home
+for _z in range(1, 61):
+    _TM_BY_CANON[tm_canonical_spec(0.0, _z * 6 - 183, 0.9996, 500000.0, 0.0)] = 32600 + _z
+    _TM_BY_CANON[
+        tm_canonical_spec(0.0, _z * 6 - 183, 0.9996, 500000.0, FALSE_NORTHING_SOUTH)
+    ] = 32700 + _z
+
+_TM_SPEC_CACHE: dict[str, tuple] = {}
+
+
+def tm_epsg_for_spec(spec: str) -> int | None:
+    """EPSG code whose tmerc parameters exactly match `spec`."""
+    return _TM_BY_CANON.get(spec)
+
+
+def _tm_params(code) -> tuple[float, float, float, float] | None:
+    """(lon0, k0, fe, fn_eff) for a UTM/TM EPSG code or a canonical
+    "PROJ4:+proj=tmerc ..." spec string; None if not TM."""
+    if isinstance(code, str):
+        if not code.startswith("PROJ4:+proj=tmerc"):
+            return None
+        hit = _TM_SPEC_CACHE.get(code)
+        if hit is not None:
+            return hit
+        d = {}
+        for tok in code[len("PROJ4:"):].split():
+            key, _, val = tok.lstrip("+").partition("=")
+            if key != "proj":
+                d[key] = float(val)
+        k0 = d["k_0"]
+        out = (d["lon_0"], k0, d["x_0"], d["y_0"] - k0 * A_CAP * _mu(d["lat_0"]))
+        _TM_SPEC_CACHE[code] = out
+        return out
+    raw = _TM_RAW.get(code)
+    if raw is not None:
+        lat_0, lon_0, k0, x_0, y_0 = raw
+        return (lon_0, k0, x_0, y_0 - k0 * A_CAP * _mu(lat_0))
+    p = utm_epsg_params(code) if isinstance(code, int) else None
+    if p is not None:
+        return (p[0], K0, FALSE_EASTING, p[1])
+    return None
+
+
+def is_tm(code) -> bool:
+    """True for any transverse-Mercator CRS the engine resolves: UTM
+    zone codes, the named TM registry, or a parameterized spec."""
+    try:
+        return _tm_params(code) is not None
+    except (KeyError, ValueError):
+        return False
 
 
 # ----------------------------------------------------------------- numpy
@@ -93,10 +183,10 @@ def is_utm(code: int) -> bool:
 def forward(lon, lat, code: int):
     """(lon, lat) degrees -> (easting, northing) meters for a UTM EPSG
     code. Vectorized; same series as the column/SQL twins."""
-    params = utm_epsg_params(code)
+    params = _tm_params(code)
     if params is None:
-        raise ValueError(f"not a UTM EPSG code: {code}")
-    lon0, fn = params
+        raise ValueError(f"not a UTM/TM EPSG code or tmerc spec: {code}")
+    lon0, k0, fe, fn = params
     lam = (np.asarray(lon, dtype="float64") - lon0) * D2R
     phi = np.asarray(lat, dtype="float64") * D2R
     t = np.sinh(np.arcsinh(np.tan(phi)) - E_ECC * np.arctanh(E_ECC * np.sin(phi)))
@@ -108,17 +198,17 @@ def forward(lon, lat, code: int):
     for j, a in enumerate(ALPHA, start=1):
         xi = xi + a * np.sin(2 * j * xi_p) * np.cosh(2 * j * eta_p)
         eta = eta + a * np.cos(2 * j * xi_p) * np.sinh(2 * j * eta_p)
-    return FALSE_EASTING + K0 * A_CAP * eta, fn + K0 * A_CAP * xi
+    return fe + k0 * A_CAP * eta, fn + k0 * A_CAP * xi
 
 
 def inverse(x, y, code: int):
     """(easting, northing) meters -> (lon, lat) degrees."""
-    params = utm_epsg_params(code)
+    params = _tm_params(code)
     if params is None:
-        raise ValueError(f"not a UTM EPSG code: {code}")
-    lon0, fn = params
-    xi = (np.asarray(y, dtype="float64") - fn) / (K0 * A_CAP)
-    eta = (np.asarray(x, dtype="float64") - FALSE_EASTING) / (K0 * A_CAP)
+        raise ValueError(f"not a UTM/TM EPSG code or tmerc spec: {code}")
+    lon0, k0, fe, fn = params
+    xi = (np.asarray(y, dtype="float64") - fn) / (k0 * A_CAP)
+    eta = (np.asarray(x, dtype="float64") - fe) / (k0 * A_CAP)
     xi_p = xi.copy()
     eta_p = eta.copy()
     for j, b in enumerate(BETA, start=1):
@@ -140,10 +230,10 @@ def forward_cols(lon, lat, code: int):
     series; keeps reproject/tiling inside whole-stage codegen."""
     from pyspark.sql import functions as F
 
-    params = utm_epsg_params(code)
+    params = _tm_params(code)
     if params is None:
-        raise ValueError(f"not a UTM EPSG code: {code}")
-    lon0, fn = params
+        raise ValueError(f"not a UTM/TM EPSG code or tmerc spec: {code}")
+    lon0, k0, fe, fn = params
     lam = (lon - F.lit(lon0)) * D2R
     phi = lat * D2R
     t = F.sinh(F.asinh(F.tan(phi)) - E_ECC * F.atanh(F.sin(phi) * E_ECC))
@@ -154,19 +244,19 @@ def forward_cols(lon, lat, code: int):
     for j, a in enumerate(ALPHA, start=1):
         xi = xi + F.lit(a) * F.sin(xi_p * (2 * j)) * F.cosh(eta_p * (2 * j))
         eta = eta + F.lit(a) * F.cos(xi_p * (2 * j)) * F.sinh(eta_p * (2 * j))
-    return F.lit(FALSE_EASTING) + eta * (K0 * A_CAP), F.lit(fn) + xi * (K0 * A_CAP)
+    return F.lit(fe) + eta * (k0 * A_CAP), F.lit(fn) + xi * (k0 * A_CAP)
 
 
 def inverse_cols(x, y, code: int):
     """Spark Column (lon, lat) from UTM easting/northing."""
     from pyspark.sql import functions as F
 
-    params = utm_epsg_params(code)
+    params = _tm_params(code)
     if params is None:
-        raise ValueError(f"not a UTM EPSG code: {code}")
-    lon0, fn = params
-    xi = (y - F.lit(fn)) / (K0 * A_CAP)
-    eta = (x - F.lit(FALSE_EASTING)) / (K0 * A_CAP)
+        raise ValueError(f"not a UTM/TM EPSG code or tmerc spec: {code}")
+    lon0, k0, fe, fn = params
+    xi = (y - F.lit(fn)) / (k0 * A_CAP)
+    eta = (x - F.lit(fe)) / (k0 * A_CAP)
     xi_p, eta_p = xi, eta
     for j, b in enumerate(BETA, start=1):
         xi_p = xi_p - F.lit(b) * F.sin(xi * (2 * j)) * F.cosh(eta * (2 * j))
@@ -204,10 +294,10 @@ def forward_sql(lon_sql: str, lat_sql: str, code: int) -> tuple[str, str]:
     """DuckDB (easting, northing) expression strings. Verbose but
     mechanical: the identical literal coefficients as the engine.
     Compare with round(4) — libm vs JVM differ at ~1e-9 relative."""
-    params = utm_epsg_params(code)
+    params = _tm_params(code)
     if params is None:
-        raise ValueError(f"not a UTM EPSG code: {code}")
-    lon0, fn = params
+        raise ValueError(f"not a UTM/TM EPSG code or tmerc spec: {code}")
+    lon0, k0, fe, fn = params
     lam = f"((({lon_sql}) - {lon0!r}) * {D2R!r})"
     phi = f"(({lat_sql}) * {D2R!r})"
     t = _sinh(f"({_asinh(f'tan({phi})')} - {E_ECC!r} * {_atanh(f'{E_ECC!r} * sin({phi})')})")
@@ -220,19 +310,19 @@ def forward_sql(lon_sql: str, lat_sql: str, code: int) -> tuple[str, str]:
         xi = f"({xi} + {a!r} * sin({2 * j} * ({xi_p})) * {_cosh(f'{2 * j} * ({eta_p})')})"
         eta = f"({eta} + {a!r} * cos({2 * j} * ({xi_p})) * {_sinh(f'{2 * j} * ({eta_p})')})"
     return (
-        f"({FALSE_EASTING!r} + {K0 * A_CAP!r} * {eta})",
-        f"({fn!r} + {K0 * A_CAP!r} * {xi})",
+        f"({fe!r} + {k0 * A_CAP!r} * {eta})",
+        f"({fn!r} + {k0 * A_CAP!r} * {xi})",
     )
 
 
 def inverse_sql(x_sql: str, y_sql: str, code: int) -> tuple[str, str]:
     """DuckDB (lon, lat) expression strings from UTM easting/northing."""
-    params = utm_epsg_params(code)
+    params = _tm_params(code)
     if params is None:
-        raise ValueError(f"not a UTM EPSG code: {code}")
-    lon0, fn = params
-    xi = f"((({y_sql}) - {fn!r}) / {K0 * A_CAP!r})"
-    eta = f"((({x_sql}) - {FALSE_EASTING!r}) / {K0 * A_CAP!r})"
+        raise ValueError(f"not a UTM/TM EPSG code or tmerc spec: {code}")
+    lon0, k0, fe, fn = params
+    xi = f"((({y_sql}) - {fn!r}) / {k0 * A_CAP!r})"
+    eta = f"((({x_sql}) - {fe!r}) / {k0 * A_CAP!r})"
     xi_p = xi
     eta_p = eta
     for j, b in enumerate(BETA, start=1):

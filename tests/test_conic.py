@@ -373,3 +373,98 @@ def test_proj4_rejections():
     ):
         with pytest.raises(CRSError):
             from_user_input(bad)
+
+
+# ------------------------------------------------- parameterized tmerc
+
+
+def test_tmerc_registry_matches():
+    from rasterio_spark.grid.crs import from_user_input
+
+    # published PROJ4 of EPSG:2193 (NZTM2000)
+    assert from_user_input(
+        "+proj=tmerc +lat_0=0 +lon_0=173 +k=0.9996 +x_0=1600000 "
+        "+y_0=10000000 +ellps=GRS80 +towgs84=0,0,0,0,0,0,0 +units=m +no_defs"
+    ) == "EPSG:2193"
+    # tmerc params spelling a UTM zone normalize to the zone code
+    assert from_user_input(
+        "+proj=tmerc +lat_0=0 +lon_0=-75 +k=0.9996 +x_0=500000 +y_0=0 +datum=WGS84"
+    ) == "EPSG:32618"
+
+
+def test_nztm_known_city():
+    from rasterio_spark.grid.crs import transform_points
+
+    # Wellington in NZTM2000 (publicly known ~1748700 E, 5427900 N)
+    x, y = transform_points("EPSG:4326", "EPSG:2193", [174.7762], [-41.2865])
+    assert abs(x[0] - 1748700) < 500 and abs(y[0] - 5427900) < 500
+    lo, la = transform_points("EPSG:2193", "EPSG:4326", x, y)
+    assert abs(lo[0] - 174.7762) < 1e-9 and abs(la[0] + 41.2865) < 1e-9
+
+
+def test_tmerc_custom_origin_scale_and_chain():
+    from rasterio_spark.grid.crs import from_user_input, normalize_crs, transform_points
+
+    spec = from_user_input(
+        "+proj=tmerc +lat_0=49 +lon_0=-2 +k_0=0.999601 +x_0=400000 "
+        "+y_0=-100000 +ellps=WGS84"
+    )
+    assert spec.startswith("PROJ4:+proj=tmerc")
+    assert normalize_crs(spec) == spec
+    # natural origin maps exactly to the false origin
+    x, y = transform_points("EPSG:4326", spec, [-2.0], [49.0])
+    assert abs(x[0] - 400000.0) < 1e-6 and abs(y[0] + 100000.0) < 1e-6
+    # scale on the central meridian == k_0 (TM defining property)
+    h = 1e-6
+    x0, y0 = transform_points("EPSG:4326", spec, [-2.0], [52.0])
+    xp, yp = transform_points("EPSG:4326", spec, [-2.0], [52.0 + h])
+    phi = math.radians(52.0)
+    s = math.sin(phi)
+    m_rad = A * (1 - E2) / math.sqrt(1 - E2 * s * s) ** 3
+    k_mer = math.hypot(xp[0] - x0[0], yp[0] - y0[0]) / (m_rad * math.radians(h))
+    assert abs(k_mer - 0.999601) < 1e-7
+    # cross-spec chain: custom tmerc -> custom laea -> geographic
+    s2 = from_user_input("+proj=laea +lat_0=45 +lon_0=-100 +ellps=WGS84")
+    x, y = transform_points("EPSG:4326", spec, [0.5], [52.0])
+    x2, y2 = transform_points(spec, s2, x, y)
+    lo, la = transform_points(s2, "EPSG:4326", x2, y2)
+    assert abs(lo[0] - 0.5) < 1e-9 and abs(la[0] - 52.0) < 1e-9
+
+
+def test_tmerc_three_forms(spark):
+    from pyspark.sql import functions as F
+    from rasterio_spark.grid import utm as U
+
+    spec = U.tm_canonical_spec(49.0, -2.0, 0.999601, 400000.0, -100000.0)
+    lons = np.linspace(-6, 2, 7)
+    lats = np.linspace(47, 55, 7)
+    x_np, y_np = U.forward(lons, lats, spec)
+    df = spark.createDataFrame(
+        [(float(lo), float(la)) for lo, la in zip(lons, lats)],
+        "lon double, lat double",
+    )
+    ex, ny = U.forward_cols(F.col("lon"), F.col("lat"), spec)
+    got = df.select(ex.alias("x"), ny.alias("y")).toPandas()
+    assert np.allclose(got["x"], x_np, atol=1e-6)
+    assert np.allclose(got["y"], y_np, atol=1e-6)
+    con = duckdb.connect()
+    sx, sy = U.forward_sql(str(float(lons[2])), str(float(lats[2])), spec)
+    gx, gy = con.execute(f"SELECT {sx}, {sy}").fetchone()
+    assert abs(gx - x_np[2]) < 1e-6 and abs(gy - y_np[2]) < 1e-6
+    lx, ly = U.inverse_sql(
+        f"CAST({float(x_np[2])!r} AS DOUBLE)", f"CAST({float(y_np[2])!r} AS DOUBLE)", spec
+    )
+    lo, la = con.execute(f"SELECT {lx}, {ly}").fetchone()
+    assert abs(lo - lons[2]) < 1e-9 and abs(la - lats[2]) < 1e-9
+
+
+def test_tmerc_rejections():
+    from rasterio_spark.grid.crs import CRSError, from_user_input
+
+    for bad in (
+        "+proj=tmerc +lon_0=0 +k_0=0",
+        "+proj=tmerc +lon_0=0 +k_0=3",
+        "+proj=tmerc +lon_0=0 +ellps=airy",
+    ):
+        with pytest.raises(CRSError):
+            from_user_input(bad)
