@@ -221,10 +221,13 @@ def main(argv: list[str] | None = None) -> int:
             )
 
             prof = DefaultLayerProfile(json.loads(args.profile))
+            # validate the profile (descriptor derivation raises on
+            # unknown/bad keys) BEFORE the write so a bad profile can't
+            # leave a half-created dataset that blocks the retry
+            desc = layer_from_profile(prof, args.width, args.height)
             empty.write.options(**writer_options(prof)).mode("error").parquet(
                 args.output
             )
-            desc = layer_from_profile(prof, args.width, args.height)
         else:
             empty.write.mode("error").parquet(args.output)
             desc = LayerDescriptor(

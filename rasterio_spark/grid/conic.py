@@ -225,14 +225,9 @@ def _consts_for_spec(spec: str) -> dict:
     hit = _SPEC_CACHE.get(spec)
     if hit is not None:
         return hit
-    d = {}
-    kind = None
-    for tok in spec[len("PROJ4:"):].split():
-        key, _, val = tok.lstrip("+").partition("=")
-        if key == "proj":
-            kind = val
-        else:
-            d[key] = float(val)
+    from rasterio_spark.grid.utm import spec_dict
+
+    kind, d = spec_dict(spec)
     if kind == "lcc":
         out = _lcc_consts(d["lat_1"], d["lat_2"], d["lat_0"], d["lon_0"], d["x_0"], d["y_0"])
     elif kind == "aea":
@@ -259,7 +254,8 @@ def is_supported(code) -> bool:
         try:
             _consts_for_spec(code)
             return True
-        except (ValueError, KeyError):
+        except (ValueError, KeyError, ZeroDivisionError):
+            # ZeroDivisionError: degenerate cone (n == 0) specs
             return False
     return code in PARAMS
 
@@ -277,11 +273,7 @@ def _q_np(lat_deg):
     return (1.0 - E2) * (s / (1.0 - E2 * s * s) + np.arctanh(E_ECC * s) / E_ECC)
 
 
-def _chi_to_phi_np(chi):
-    phi = chi.copy()
-    for j, c in enumerate(CHI_TO_PHI, start=1):
-        phi = phi + c * np.sin(2 * j * chi)
-    return phi
+from rasterio_spark.grid.utm import chi_to_phi_np as _chi_to_phi_np
 
 
 def _beta_to_phi_np(beta):
@@ -363,6 +355,14 @@ def _psi_cols(lat):
     return F.asinh(F.tan(phi)) - E_ECC * F.atanh(F.sin(phi) * E_ECC)
 
 
+def _asin_cols(x):
+    """asin with the domain clamp the NumPy form applies (np.clip):
+    q/q_p can exceed 1 by an ulp at the poles, asin(NaN) otherwise."""
+    from pyspark.sql import functions as F
+
+    return F.asin(F.least(F.greatest(x, F.lit(-1.0)), F.lit(1.0)))
+
+
 def _q_cols(lat):
     from pyspark.sql import functions as F
 
@@ -394,7 +394,7 @@ def forward_cols(lon, lat, code):
         rho = F.sqrt(F.lit(p["c"]) - _q_cols(lat) * p["n"]) * (A_WGS84 / p["n"])
         th = (lon * D2R - p["lam_f"]) * p["n"]
         return F.lit(p["fe"]) + rho * F.sin(th), F.lit(p["fn"] + p["rho_f"]) - rho * F.cos(th)
-    beta = F.asin(_q_cols(lat) / _QP)
+    beta = _asin_cols(_q_cols(lat) / _QP)
     dl = lon * D2R - p["lam_0"]
     sb, cb = F.sin(beta), F.cos(beta)
     b = F.sqrt(F.lit(2.0) / (F.lit(1.0) + sb * p["sb0"] + cb * F.cos(dl) * p["cb0"])) * p["rq"]
@@ -419,17 +419,17 @@ def inverse_cols(x, y, code):
             chi = F.atan(F.sinh(psi))
             return lam / D2R, _series_cols(chi, CHI_TO_PHI) / D2R
         qq = (F.lit(p["c"]) - (rho * (p["n"] / A_WGS84)) * (rho * (p["n"] / A_WGS84))) / p["n"]
-        beta = F.asin(qq / _QP)
+        beta = _asin_cols(qq / _QP)
         return lam / D2R, _series_cols(beta, BETA_TO_PHI) / D2R
     dx = (x - F.lit(p["fe"])) / p["d"]
     dy = (y - F.lit(p["fn"])) * p["d"]
     rho = F.sqrt(dx * dx + dy * dy)
-    cc = F.asin(rho / (2.0 * p["rq"])) * 2.0
+    cc = _asin_cols(rho / (2.0 * p["rq"])) * 2.0
     # rho == 0 (the exact projection center) -> beta_0, lam_0
     qq = F.when(rho == 0.0, _QP * p["sb0"]).otherwise(
         (F.cos(cc) * p["sb0"] + dy * F.sin(cc) * (p["cb0"]) / rho) * _QP
     )
-    beta = F.asin(qq / _QP)
+    beta = _asin_cols(qq / _QP)
     lam = F.when(rho == 0.0, p["lam_0"]).otherwise(
         F.lit(p["lam_0"])
         + F.atan2(dx * F.sin(cc), rho * F.cos(cc) * p["cb0"] - dy * F.sin(cc) * p["sb0"])
@@ -453,6 +453,10 @@ def _q_sql(lat_sql: str) -> str:
         f"({1.0 - E2!r} * ({s} / (1.0 - {E2!r} * {s} * {s})"
         f" + {_atanh(f'{E_ECC!r} * {s}')} / {E_ECC!r}))"
     )
+
+
+def _asin_sql(x: str) -> str:
+    return f"asin(least(greatest({x}, -1.0), 1.0))"
 
 
 def _series_sql(x: str, coeffs) -> str:
@@ -479,7 +483,7 @@ def forward_sql(lon_sql: str, lat_sql: str, code) -> tuple[str, str]:
             f"({p['fe']!r} + {rho} * sin({th}))",
             f"({p['fn'] + p['rho_f']!r} - {rho} * cos({th}))",
         )
-    beta = f"asin({_q_sql(lat_sql)} / {_QP!r})"
+    beta = _asin_sql(f"{_q_sql(lat_sql)} / {_QP!r}")
     dl = f"(({lon_sql}) * {D2R!r} - {p['lam_0']!r})"
     b = (
         f"({p['rq']!r} * sqrt(2.0 / (1.0 + {p['sb0']!r} * sin({beta})"
@@ -506,17 +510,23 @@ def inverse_sql(x_sql: str, y_sql: str, code) -> tuple[str, str]:
             chi = f"atan({_sinh(psi)})"
             return f"({lam} / {D2R!r})", f"({_series_sql(chi, CHI_TO_PHI)} / {D2R!r})"
         qq = f"(({p['c']!r} - ({rho} * {p['n'] / A_WGS84!r}) ^ 2) / {p['n']!r})"
-        beta = f"asin({qq} / {_QP!r})"
+        beta = _asin_sql(f"{qq} / {_QP!r}")
         return f"({lam} / {D2R!r})", f"({_series_sql(beta, BETA_TO_PHI)} / {D2R!r})"
     dx = f"((({x_sql}) - {p['fe']!r}) / {p['d']!r})"
     dy = f"((({y_sql}) - {p['fn']!r}) * {p['d']!r})"
     rho = f"sqrt({dx} * {dx} + {dy} * {dy})"
-    cc = f"(2.0 * asin({rho} / {2.0 * p['rq']!r}))"
-    # no center-point guard in the SQL twin: oracle inputs avoid rho == 0
-    qq = f"({_QP!r} * (cos({cc}) * {p['sb0']!r} + {dy} * sin({cc}) * {p['cb0']!r} / {rho}))"
-    beta = f"asin({qq} / {_QP!r})"
+    two_rq = 2.0 * p["rq"]
+    cc = f"(2.0 * {_asin_sql(f'{rho} / {two_rq!r}')})"
+    # rho == 0 (the exact projection center) guarded like the other two
+    # forms — without it the asin clamp would turn the 0/0 into -90
+    qq = (
+        f"(CASE WHEN {rho} = 0.0 THEN {_QP * p['sb0']!r} ELSE "
+        f"{_QP!r} * (cos({cc}) * {p['sb0']!r} + {dy} * sin({cc}) * {p['cb0']!r} / {rho}) END)"
+    )
+    beta = _asin_sql(f"{qq} / {_QP!r}")
     lam = (
-        f"({p['lam_0']!r} + atan2({dx} * sin({cc}),"
-        f" {rho} * cos({cc}) * {p['cb0']!r} - {dy} * sin({cc}) * {p['sb0']!r}))"
+        f"(CASE WHEN {rho} = 0.0 THEN {p['lam_0']!r} ELSE "
+        f"{p['lam_0']!r} + atan2({dx} * sin({cc}),"
+        f" {rho} * cos({cc}) * {p['cb0']!r} - {dy} * sin({cc}) * {p['sb0']!r}) END)"
     )
     return f"({lam} / {D2R!r})", f"({_series_sql(beta, BETA_TO_PHI)} / {D2R!r})"

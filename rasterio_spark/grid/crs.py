@@ -136,13 +136,18 @@ def from_dict(initialdata=None, **kwargs) -> str:
                 f"unsupported datum/ellipsoid {d!r} (engine ships the "
                 "WGS84/GRS80 family only)"
             )
-        tw = str(rest.pop("towgs84", "0")).split(",")
-        if any(float(v or 0) != 0.0 for v in tw):
-            raise CRSError(f"nonzero +towgs84 shift unsupported: {d!r}")
-        units = str(rest.pop("units", "m")).lower()
-        if units != "m":
-            raise CRSError(f"unsupported units {units!r} (meters only)")
-        k0 = float(rest.pop("k_0", rest.pop("k", 1.0) or 1.0))
+        try:
+            tw = str(rest.pop("towgs84", "0")).split(",")
+            if any(float(v or 0) != 0.0 for v in tw):
+                raise CRSError(f"nonzero +towgs84 shift unsupported: {d!r}")
+            units = str(rest.pop("units", "m")).lower()
+            if units != "m":
+                raise CRSError(f"unsupported units {units!r} (meters only)")
+            k0 = float(rest.pop("k_0", rest.pop("k", 1.0) or 1.0))
+        except CRSError:
+            raise  # CRSError subclasses ValueError — keep its message
+        except (TypeError, ValueError):
+            raise CRSError(f"non-numeric projection parameter in {d!r}")
         if proj != "tmerc" and k0 != 1.0:
             # tmerc takes a real scale factor; the conic 2SP forms do not
             raise CRSError(f"scale factor k_0 != 1 unsupported for {proj}: {d!r}")
@@ -336,6 +341,18 @@ def is_geographic(crs) -> bool:
     return normalize_crs(crs) == "EPSG:4326"
 
 
+_SUPPORTED_PAIRS_NOTE = (
+    "(engine ships EPSG:4326, EPSG:3857, UTM EPSG:326xx/327xx + EPSG:2193, "
+    "EPSG:3395, UPS EPSG:32661/32761, LCC EPSG:2154/3347, "
+    "Albers EPSG:5070/3577, LAEA EPSG:3035, and parameterized "
+    "+proj=lcc/aea/laea/tmerc CRSs)"
+)
+
+
+def _unsupported_pair(s: str, d: str) -> ValueError:
+    return ValueError(f"unsupported CRS pair {s} -> {d} {_SUPPORTED_PAIRS_NOTE}")
+
+
 def _utm_code(normalized: str) -> int | str | None:
     """Transverse-Mercator spec if `normalized` is a TM CRS the engine
     resolves: the EPSG code (UTM 326xx/327xx, the named TM registry
@@ -399,11 +416,7 @@ def transform_points(src_crs: str, dst_crs: str, xs, ys):
     elif _proj_code(s) is not None:
         lon, lat = projections.inverse(xs, ys, _proj_code(s))
     else:
-        raise ValueError(
-            f"unsupported CRS pair {s} -> {d} "
-            "(engine ships EPSG:4326, EPSG:3857, UTM EPSG:326xx/327xx, "
-            "EPSG:3395, UPS EPSG:32661/32761, EPSG:2154, EPSG:5070, EPSG:3035)"
-        )
+        raise _unsupported_pair(s, d)
 
     # geographic -> dst
     if d == "EPSG:4326":
@@ -416,11 +429,7 @@ def transform_points(src_crs: str, dst_crs: str, xs, ys):
         return utm.forward(lon, lat, _utm_code(d))
     if _proj_code(d) is not None:
         return projections.forward(lon, lat, _proj_code(d))
-    raise ValueError(
-        f"unsupported CRS pair {s} -> {d} "
-        "(engine ships EPSG:4326, EPSG:3857, UTM EPSG:326xx/327xx, "
-        "EPSG:3395, UPS EPSG:32661/32761, EPSG:2154, EPSG:5070, EPSG:3035)"
-    )
+    raise _unsupported_pair(s, d)
 
 
 def transform_bounds(src_crs, dst_crs, left, bottom, right, top, densify_pts: int = 21):
@@ -643,7 +652,7 @@ def transform_points_cols(src_crs, dst_crs, x, y):
     elif _proj_code(s) is not None:
         lon, lat = projections.inverse_cols(x, y, _proj_code(s))
     else:
-        raise ValueError(f"unsupported CRS pair {s} -> {d}")
+        raise _unsupported_pair(s, d)
 
     if d == "EPSG:4326":
         return lon, lat
@@ -653,7 +662,7 @@ def transform_points_cols(src_crs, dst_crs, x, y):
         return utm.forward_cols(lon, lat, _utm_code(d))
     if _proj_code(d) is not None:
         return projections.forward_cols(lon, lat, _proj_code(d))
-    raise ValueError(f"unsupported CRS pair {s} -> {d}")
+    raise _unsupported_pair(s, d)
 
 
 def transform_points_sql(src_crs, dst_crs, x_sql: str, y_sql: str) -> tuple[str, str]:
@@ -674,7 +683,7 @@ def transform_points_sql(src_crs, dst_crs, x_sql: str, y_sql: str) -> tuple[str,
     elif _proj_code(s) is not None:
         lon, lat = projections.inverse_sql(x_sql, y_sql, _proj_code(s))
     else:
-        raise ValueError(f"unsupported CRS pair {s} -> {d}")
+        raise _unsupported_pair(s, d)
 
     if d == "EPSG:4326":
         return lon, lat
@@ -684,4 +693,4 @@ def transform_points_sql(src_crs, dst_crs, x_sql: str, y_sql: str) -> tuple[str,
         return utm.forward_sql(lon, lat, _utm_code(d))
     if _proj_code(d) is not None:
         return projections.forward_sql(lon, lat, _proj_code(d))
-    raise ValueError(f"unsupported CRS pair {s} -> {d}")
+    raise _unsupported_pair(s, d)

@@ -73,12 +73,7 @@ def _psi_np(lat_deg):
     return np.arcsinh(np.tan(phi)) - E_ECC * np.arctanh(E_ECC * np.sin(phi))
 
 
-def _chi_to_phi_np(chi):
-    """Conformal -> geographic latitude via utm's public series."""
-    phi = chi.copy()
-    for j, c in enumerate(CHI_TO_PHI, start=1):
-        phi = phi + c * np.sin(2 * j * chi)
-    return phi
+from rasterio_spark.grid.utm import chi_to_phi_np as _chi_to_phi_np
 
 
 def forward(lon, lat, code: int):

@@ -108,6 +108,30 @@ def _mu(lat0_deg: float) -> float:
     return xi
 
 
+def chi_to_phi_np(chi):
+    """Conformal -> geographic latitude via the public CHI_TO_PHI
+    series (shared by projections.py and conic.py)."""
+    phi = chi.copy()
+    for j, c in enumerate(CHI_TO_PHI, start=1):
+        phi = phi + c * np.sin(2 * j * chi)
+    return phi
+
+
+def spec_dict(spec: str) -> tuple[str, dict]:
+    """Parse a canonical "PROJ4:+proj=... +k=v ..." spec into
+    (proj, {param: float}) — the single parser behind utm._tm_params
+    and conic._consts_for_spec."""
+    proj = ""
+    d: dict = {}
+    for tok in spec[len("PROJ4:"):].split():
+        key, _, val = tok.lstrip("+").partition("=")
+        if key == "proj":
+            proj = val
+        else:
+            d[key] = float(val)
+    return proj, d
+
+
 def tm_canonical_spec(lat_0, lon_0, k_0, x_0, y_0) -> str:
     """Deterministic "PROJ4:+proj=tmerc ..." key for a parameterized
     transverse-Mercator CRS (crs.from_dict normalization target)."""
@@ -149,11 +173,7 @@ def _tm_params(code) -> tuple[float, float, float, float] | None:
         hit = _TM_SPEC_CACHE.get(code)
         if hit is not None:
             return hit
-        d = {}
-        for tok in code[len("PROJ4:"):].split():
-            key, _, val = tok.lstrip("+").partition("=")
-            if key != "proj":
-                d[key] = float(val)
+        _, d = spec_dict(code)
         k0 = d["k_0"]
         out = (d["lon_0"], k0, d["x_0"], d["y_0"] - k0 * A_CAP * _mu(d["lat_0"]))
         _TM_SPEC_CACHE[code] = out

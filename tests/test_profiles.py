@@ -92,3 +92,27 @@ def test_cli_create_with_profile(spark, tmp_path):
     assert d.crs == "EPSG:3857"
     assert d.nodata == 0.0  # DefaultLayerProfile beneath
     assert spark.read.parquet(str(out)).count() == 0
+
+
+def test_cli_create_bad_profile_leaves_nothing(spark, tmp_path):
+    """A bad profile must fail BEFORE the parquet write so the retry
+    with a corrected profile isn't blocked by a half-created dataset."""
+    import pytest
+
+    from rasterio_spark.cli import main
+
+    out = tmp_path / "bad_layer"
+    with pytest.raises(ValueError, match="unknown profile keys"):
+        main([
+            "create", "--output", str(out),
+            "--width", "8", "--height", "8",
+            "--profile", '{"tiled": true}',
+        ])
+    assert not out.exists()
+    # and the corrected retry succeeds on the same path
+    rc = main([
+        "create", "--output", str(out),
+        "--width", "8", "--height", "8",
+        "--profile", '{"count": 2}',
+    ])
+    assert rc == 0 and (out / "_descriptor.json").exists()
