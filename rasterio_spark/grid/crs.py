@@ -3,11 +3,14 @@
 
 EPSG:4326 (lon/lat degrees) <-> EPSG:3857 (Web Mercator) here; the UTM
 series EPSG:326xx/327xx in grid/utm.py; EPSG:3395 (World Mercator) and
-the UPS pair EPSG:32661/32761 in grid/projections.py; the conic /
-equal-area family — EPSG:2154 (Lambert-93, LCC 2SP), EPSG:5070 (Conus
-Albers), EPSG:3035 (LAEA Europe) — in grid/conic.py. Pure NumPy public
-formulas; every projection is also emitted as Spark column expressions
-and DuckDB SQL so the whole warp stays JVM-side.
+the polar stereographic family (UPS EPSG:32661/32761 plus the polar
+science grids EPSG:3413/3995/3031/3976/3032) in grid/projections.py;
+the conic / equal-area family — EPSG:2154 (Lambert-93, LCC 2SP),
+EPSG:5070 (Conus Albers), EPSG:3035 (LAEA Europe) — in grid/conic.py;
+sinusoidal (incl. the MODIS sphere) and equidistant cylindrical
+(EPSG:4087) in grid/cylindrical.py. Pure NumPy public formulas; every
+projection is also emitted as Spark column expressions and DuckDB SQL
+so the whole warp stays JVM-side.
 
 Reference behavior mirrored: warp.transform vectorized point transform
 (/root/reference/rasterio/warp.py:26-61), transform_bounds with 21-point
@@ -114,15 +117,20 @@ def from_dict(initialdata=None, **kwargs) -> str:
             raise CRSError(f"unsupported UTM datum {d!r} (engine ships WGS84 only)")
         south = bool(d.get("south", False))
         return f"EPSG:{(32700 if south else 32600) + zone}"
-    if proj in ("lcc", "aea", "laea", "tmerc"):
-        # parameterized conic / equal-area / transverse-Mercator CRS
-        # (grid/conic.py, grid/utm.py): exact registry matches
-        # normalize to their EPSG code (incl. tmerc params that spell
-        # a UTM zone or NZTM2000); other params normalize to a
-        # canonical "PROJ4:+proj=..." spec the transform hub resolves
-        # dynamically. WGS84/GRS80-family datums only (GRS80 == WGS84
-        # to < 0.1 mm; see conic.py datum note).
-        from rasterio_spark.grid import conic, utm
+    if proj in ("lcc", "aea", "laea", "tmerc", "stere", "sinu", "eqc"):
+        # parameterized conic / equal-area / transverse-Mercator /
+        # polar-stereographic / sinusoidal / equidistant-cylindrical
+        # CRS (grid/conic.py, grid/utm.py, grid/projections.py,
+        # grid/cylindrical.py): exact registry matches normalize to
+        # their EPSG code (incl. tmerc params that spell a UTM zone or
+        # NZTM2000, stere params that spell UPS or the polar science
+        # grids, eqc params that spell EPSG:4087); other params
+        # normalize to a canonical "PROJ4:+proj=..." spec the
+        # transform hub resolves dynamically. WGS84/GRS80-family
+        # datums only (GRS80 == WGS84 to < 0.1 mm; see conic.py datum
+        # note) — except spherical sinusoidal, which takes its +R
+        # radius verbatim (the MODIS grid's authalic sphere).
+        from rasterio_spark.grid import conic, cylindrical, projections, utm
 
         rest = dict(d)
         rest.pop("proj", None)
@@ -143,26 +151,37 @@ def from_dict(initialdata=None, **kwargs) -> str:
             units = str(rest.pop("units", "m")).lower()
             if units != "m":
                 raise CRSError(f"unsupported units {units!r} (meters only)")
+            nad = str(rest.pop("nadgrids", "@null"))
+            if nad != "@null":
+                raise CRSError(f"grid-shift files unsupported: {d!r}")
             k0 = float(rest.pop("k_0", rest.pop("k", 1.0) or 1.0))
+            lat_ts = rest.pop("lat_ts", None)
+            lat_ts = float(lat_ts) if lat_ts is not None else None
+            r_sph = rest.pop("r", None)
+            r_sph = float(r_sph) if r_sph is not None else None
         except CRSError:
             raise  # CRSError subclasses ValueError — keep its message
         except (TypeError, ValueError):
             raise CRSError(f"non-numeric projection parameter in {d!r}")
-        if proj != "tmerc" and k0 != 1.0:
-            # tmerc takes a real scale factor; the conic 2SP forms do not
+        if r_sph is not None and (proj != "sinu" or r_sph <= 0.0):
+            raise CRSError(f"sphere radius +R only supported for +proj=sinu: {d!r}")
+        if lat_ts is not None and proj not in ("stere", "eqc"):
+            raise CRSError(f"+lat_ts unsupported for +proj={proj}: {d!r}")
+        if proj not in ("tmerc", "stere") and k0 != 1.0:
+            # tmerc/stere take a real scale factor; the others do not
             raise CRSError(f"scale factor k_0 != 1 unsupported for {proj}: {d!r}")
-        if proj == "tmerc" and not 0.0 < k0 <= 2.0:
-            raise CRSError(f"tmerc scale factor out of range: {k0!r}")
+        if proj in ("tmerc", "stere") and not 0.0 < k0 <= 2.0:
+            raise CRSError(f"{proj} scale factor out of range: {k0!r}")
         try:
             lat_0 = float(rest.pop("lat_0", 0.0))
             lon_0 = float(rest.pop("lon_0", 0.0))
             x_0 = float(rest.pop("x_0", 0.0))
             y_0 = float(rest.pop("y_0", 0.0))
-            if proj in ("laea", "tmerc"):
-                lat_1 = lat_2 = None
-            else:
+            if proj in ("lcc", "aea"):
                 lat_1 = float(rest.pop("lat_1", lat_0))
                 lat_2 = float(rest.pop("lat_2", lat_1))
+            else:
+                lat_1 = lat_2 = None
         except (TypeError, ValueError):
             raise CRSError(f"non-numeric projection parameter in {d!r}")
         if rest:
@@ -172,6 +191,36 @@ def from_dict(initialdata=None, **kwargs) -> str:
         if proj == "tmerc":
             spec = utm.tm_canonical_spec(lat_0, lon_0, k0, x_0, y_0)
             code = utm.tm_epsg_for_spec(spec)
+            return f"EPSG:{code}" if code is not None else spec
+        if proj == "stere":
+            # polar only: the oblique/equatorial stereographic is a
+            # different projection (PROJ sterea / EPSG 9809) — error
+            # rather than silently mis-projecting
+            if lat_0 not in (90.0, -90.0):
+                raise CRSError(
+                    f"only polar stereographic supported (+lat_0=90 or -90): {d!r}"
+                )
+            if lat_ts is not None:
+                if k0 != 1.0:
+                    raise CRSError(f"give +lat_ts or +k_0, not both: {d!r}")
+                if not 0.0 < abs(lat_ts) < 90.0 or lat_ts * lat_0 < 0.0:
+                    raise CRSError(
+                        f"+lat_ts must lie strictly in the projection hemisphere: {d!r}"
+                    )
+                k0 = projections.ps_k0_from_lat_ts(lat_ts)
+            spec = projections.stereo_canonical_spec(lat_0, lon_0, k0, x_0, y_0)
+            code = projections.stereo_epsg_for_spec(spec)
+            return f"EPSG:{code}" if code is not None else spec
+        if proj == "sinu":
+            if lat_0 != 0.0:
+                raise CRSError(f"+lat_0 unsupported for +proj=sinu: {d!r}")
+            return cylindrical.sinu_canonical_spec(lon_0, x_0, y_0, r_sph)
+        if proj == "eqc":
+            lat_ts = lat_ts if lat_ts is not None else 0.0
+            if not abs(lat_ts) < 90.0:
+                raise CRSError(f"eqc standard parallel out of range: {lat_ts!r}")
+            spec = cylindrical.eqc_canonical_spec(lat_ts, lat_0, lon_0, x_0, y_0)
+            code = cylindrical.eqc_epsg_for_spec(spec)
             return f"EPSG:{code}" if code is not None else spec
         spec = conic.canonical_spec(proj, lat_1, lat_2, lat_0, lon_0, x_0, y_0)
         try:
@@ -343,9 +392,11 @@ def is_geographic(crs) -> bool:
 
 _SUPPORTED_PAIRS_NOTE = (
     "(engine ships EPSG:4326, EPSG:3857, UTM EPSG:326xx/327xx + EPSG:2193, "
-    "EPSG:3395, UPS EPSG:32661/32761, LCC EPSG:2154/3347, "
-    "Albers EPSG:5070/3577, LAEA EPSG:3035, and parameterized "
-    "+proj=lcc/aea/laea/tmerc CRSs)"
+    "EPSG:3395, polar stereographic EPSG:32661/32761/3413/3995/3031/3976/3032, "
+    "LCC EPSG:2154/3347, Albers EPSG:5070/3577, LAEA EPSG:3035, "
+    "equidistant cylindrical EPSG:4087, and parameterized "
+    "+proj=lcc/aea/laea/tmerc/stere/sinu/eqc CRSs incl. the MODIS "
+    "sinusoidal sphere)"
 )
 
 
