@@ -93,8 +93,13 @@ def from_dict(initialdata=None, **kwargs) -> str:
         ellps = str(d.get("ellps", "WGS84")).upper()
         if datum == "WGS84" or (("datum" not in d) and ellps == "WGS84"):
             return "EPSG:4326"
+        if datum == "NAD83":
+            # WGS84-family geographic CRS (null shift; see
+            # GEOGRAPHIC_WGS84_FAMILY note)
+            return "EPSG:4269"
         raise CRSError(
-            f"unsupported geographic datum {d!r} (engine ships WGS84 only)"
+            f"unsupported geographic datum {d!r} (engine ships the "
+            "WGS84/GRS80 family only)"
         )
     if proj in ("merc", "webmerc"):
         # spherical web mercator: +a=6378137 (+b=a), k=1, lat_ts/lon_0/x_0/y_0 = 0
@@ -113,9 +118,17 @@ def from_dict(initialdata=None, **kwargs) -> str:
             raise CRSError(f"UTM zone out of range 1..60: {zone}")
         datum = str(d.get("datum", "WGS84")).upper()
         ellps = str(d.get("ellps", "WGS84")).upper()
-        if datum != "WGS84" or ("datum" not in d and ellps != "WGS84"):
-            raise CRSError(f"unsupported UTM datum {d!r} (engine ships WGS84 only)")
         south = bool(d.get("south", False))
+        if datum == "NAD83":
+            # NAD83 / UTM zone N (EPSG:269xx; null shift, see
+            # GEOGRAPHIC_WGS84_FAMILY) — EPSG defines zones 1N..23N
+            if south or not 1 <= zone <= 23:
+                raise CRSError(f"no EPSG code for NAD83 UTM {d!r}")
+            return f"EPSG:{26900 + zone}"
+        if datum != "WGS84" or ("datum" not in d and ellps not in ("WGS84", "GRS80")):
+            raise CRSError(
+                f"unsupported UTM datum {d!r} (engine ships the WGS84/GRS80 family only)"
+            )
         return f"EPSG:{(32700 if south else 32600) + zone}"
     if proj in ("lcc", "aea", "laea", "tmerc", "stere", "sinu", "eqc"):
         # parameterized conic / equal-area / transverse-Mercator /
@@ -386,12 +399,28 @@ def crs_equal(a, b) -> bool:
     return normalize_crs(a) == normalize_crs(b)
 
 
+# Geographic CRSs the engine treats as WGS84-equivalent with a null
+# datum shift — the same default PROJ applies for these pairs without
+# grid files, and the projected registry already assumes the
+# GRS80==WGS84 family (EPSG:5070 is NAD83-based, 2154 RGF93, 3035
+# ETRS89, 3577 GDA94, 2193 NZGD2000; see conic.py datum note).
+# Realization differences are at the ~1-2 m level, far below the
+# engine's cell sizes; codes stay DISTINCT under crs_equal.
+# 4258 ETRS89, 4269 NAD83, 4283 GDA94, 4167 NZGD2000,
+# 4759 NAD83(NSRS2007), 4171 RGF93.
+GEOGRAPHIC_WGS84_FAMILY = frozenset(
+    {"EPSG:4326", "EPSG:4258", "EPSG:4269", "EPSG:4283", "EPSG:4167",
+     "EPSG:4759", "EPSG:4171"}
+)
+
+
 def is_geographic(crs) -> bool:
-    return normalize_crs(crs) == "EPSG:4326"
+    return normalize_crs(crs) in GEOGRAPHIC_WGS84_FAMILY
 
 
 _SUPPORTED_PAIRS_NOTE = (
-    "(engine ships EPSG:4326, EPSG:3857, UTM EPSG:326xx/327xx + EPSG:2193, "
+    "(engine ships geographic EPSG:4326 + the WGS84-family aliases "
+    "4258/4269/4283/4167/4759/4171, EPSG:3857, UTM EPSG:326xx/327xx + EPSG:2193, "
     "EPSG:3395, polar stereographic EPSG:32661/32761/3413/3995/3031/3976/3032, "
     "LCC EPSG:2154/3347, Albers EPSG:5070/3577, LAEA EPSG:3035, "
     "equidistant cylindrical EPSG:4087, and parameterized "
@@ -457,7 +486,7 @@ def transform_points(src_crs: str, dst_crs: str, xs, ys):
         return xs, ys
 
     # src -> geographic
-    if s == "EPSG:4326":
+    if s in GEOGRAPHIC_WGS84_FAMILY:
         lon, lat = xs, ys
     elif s == "EPSG:3857":
         lon = xs / R * 180.0 / np.pi
@@ -470,7 +499,7 @@ def transform_points(src_crs: str, dst_crs: str, xs, ys):
         raise _unsupported_pair(s, d)
 
     # geographic -> dst
-    if d == "EPSG:4326":
+    if d in GEOGRAPHIC_WGS84_FAMILY:
         return lon, lat
     if d == "EPSG:3857":
         x = lon * np.pi / 180.0 * R
@@ -497,7 +526,7 @@ def transform_bounds(src_crs, dst_crs, left, bottom, right, top, densify_pts: in
     ys = np.concatenate(
         [np.full(n, bottom), np.full(n, top), ys_edge, ys_edge]
     )
-    if normalize_crs(src_crs) == "EPSG:4326" and normalize_crs(dst_crs) in (
+    if normalize_crs(src_crs) in GEOGRAPHIC_WGS84_FAMILY and normalize_crs(dst_crs) in (
         "EPSG:3857",
         "EPSG:3395",
     ):
@@ -693,7 +722,7 @@ def transform_points_cols(src_crs, dst_crs, x, y):
     if s == d:
         return x, y
 
-    if s == "EPSG:4326":
+    if s in GEOGRAPHIC_WGS84_FAMILY:
         lon, lat = x, y
     elif s == "EPSG:3857":
         lon = x / R * (180.0 / math.pi)
@@ -705,7 +734,7 @@ def transform_points_cols(src_crs, dst_crs, x, y):
     else:
         raise _unsupported_pair(s, d)
 
-    if d == "EPSG:4326":
+    if d in GEOGRAPHIC_WGS84_FAMILY:
         return lon, lat
     if d == "EPSG:3857":
         return forward_3857_cols(lon, lat)
@@ -724,7 +753,7 @@ def transform_points_sql(src_crs, dst_crs, x_sql: str, y_sql: str) -> tuple[str,
 
     from rasterio_spark.grid import projections, utm
 
-    if s == "EPSG:4326":
+    if s in GEOGRAPHIC_WGS84_FAMILY:
         lon, lat = x_sql, y_sql
     elif s == "EPSG:3857":
         lon = f"(({x_sql}) / {R!r} * 180.0 / pi())"
@@ -736,7 +765,7 @@ def transform_points_sql(src_crs, dst_crs, x_sql: str, y_sql: str) -> tuple[str,
     else:
         raise _unsupported_pair(s, d)
 
-    if d == "EPSG:4326":
+    if d in GEOGRAPHIC_WGS84_FAMILY:
         return lon, lat
     if d == "EPSG:3857":
         return forward_3857_sql(lon, lat)

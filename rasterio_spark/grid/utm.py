@@ -74,12 +74,21 @@ D2R = math.pi / 180.0
 
 def utm_epsg_params(code: int) -> tuple[float, float] | None:
     """(central meridian lon0 degrees, false northing) for a UTM EPSG
-    code, or None if the code is not UTM. Zones 1..60; 326xx north,
-    327xx south."""
+    code, or None if the code is not UTM. WGS84 zones 1..60 (326xx
+    north / 327xx south) plus the GRS80-family national series the
+    engine transforms with a null datum shift (crs.py
+    GEOGRAPHIC_WGS84_FAMILY note): NAD83 26901-26923, ETRS89
+    25828-25838, GDA94 MGA 28348-28358 (south)."""
     if 32601 <= code <= 32660:
         return float((code - 32600) * 6 - 183), 0.0
     if 32701 <= code <= 32760:
         return float((code - 32700) * 6 - 183), FALSE_NORTHING_SOUTH
+    if 26901 <= code <= 26923:  # NAD83 / UTM zone 1N..23N
+        return float((code - 26900) * 6 - 183), 0.0
+    if 25828 <= code <= 25838:  # ETRS89 / UTM zone 28N..38N
+        return float((code - 25800) * 6 - 183), 0.0
+    if 28348 <= code <= 28358:  # GDA94 / MGA zone 48..58 (south)
+        return float((code - 28300) * 6 - 183), FALSE_NORTHING_SOUTH
     return None
 
 

@@ -278,6 +278,85 @@ def test_composed_pairs_through_hub():
     assert abs(float(gx) - ex2[0]) < 1e-6 and abs(float(gy) - ey2[0]) < 1e-6
 
 
+# ------------------------------------------- WGS84-family geographic CRSs
+
+
+def test_geographic_family_null_shift():
+    from rasterio_spark.grid.crs import crs_equal, is_geographic
+
+    # NAD83 -> Conus Albers (its native pairing): the false origin maps
+    # exactly, same as from 4326 — the engine's documented null shift
+    x, y = transform_points("EPSG:4269", "EPSG:5070", [-96.0], [23.0])
+    assert abs(x[0]) < 1e-9 and abs(y[0]) < 1e-9
+    # ETRS89 -> LAEA Europe false origin
+    x, y = transform_points("EPSG:4258", "EPSG:3035", [10.0], [52.0])
+    assert abs(x[0] - 4321000.0) < 1e-9 and abs(y[0] - 3210000.0) < 1e-9
+    # family members are geographic but NOT equal CRSs
+    assert is_geographic("EPSG:4269") and is_geographic(4258)
+    assert not crs_equal("EPSG:4326", "EPSG:4269")
+    # null transform between family members
+    x, y = transform_points("EPSG:4269", "EPSG:4326", [12.5], [41.9])
+    assert x[0] == 12.5 and y[0] == 41.9
+    assert from_proj4("+proj=longlat +datum=NAD83 +no_defs") == "EPSG:4269"
+
+
+def test_geographic_family_sql_twin_and_cutting():
+    from rasterio_spark.grid.crs import transform_geom
+
+    con = duckdb.connect()
+    sx, sy = transform_points_sql("EPSG:4258", "EPSG:3035", "10.0", "52.0")
+    gx, gy = con.execute(f"SELECT {sx}, {sy}").fetchone()
+    assert abs(float(gx) - 4321000.0) < 1e-6 and abs(float(gy) - 3210000.0) < 1e-6
+    # antimeridian cutting treats family targets as geographic
+    g = transform_geom(
+        "EPSG:3857",
+        "EPSG:4269",
+        {"type": "LineString", "coordinates": [(19900000.0, 0.0), (-19900000.0, 100000.0)]},
+    )
+    assert g["type"] == "MultiLineString"
+
+
+def test_national_utm_series():
+    """NAD83/ETRS89/GDA94 UTM zone codes share the WGS84 zone math
+    (null shift): EPSG:26911 == EPSG:32611, 25832 == 32632,
+    28355 == 32755 numerically."""
+    from rasterio_spark.grid.crs import from_dict
+
+    for nat, wgs, lon, lat in (
+        (26911, 32611, -118.0, 34.0),
+        (25832, 32632, 9.0, 52.0),
+        (28355, 32755, 147.0, -37.8),
+    ):
+        xn, yn = transform_points("EPSG:4326", f"EPSG:{nat}", [lon], [lat])
+        xw, yw = transform_points("EPSG:4326", f"EPSG:{wgs}", [lon], [lat])
+        assert abs(xn[0] - xw[0]) < 1e-9 and abs(yn[0] - yw[0]) < 1e-9
+        lo, la = transform_points(f"EPSG:{nat}", "EPSG:4326", xn, yn)
+        assert abs(lo[0] - lon) < 1e-9 and abs(la[0] - lat) < 1e-9
+    # reference tests/test_crs.py test_from_string_2: +init=epsg:26911
+    # is NAD83 UTM 11N — its PROJ dict normalizes to the same code
+    assert from_dict({"proj": "utm", "zone": 11, "datum": "NAD83", "units": "m"}) == "EPSG:26911"
+    with pytest.raises(CRSError):
+        from_dict({"proj": "utm", "zone": 30, "datum": "NAD83"})
+
+
+def test_ref_issue1609_stere_dict_is_3976():
+    """The reference's test_issue1609 PROJ dict (tests/test_crs.py:428)
+    is exactly the NSIDC Sea Ice South parameter set — the engine
+    normalizes it home to EPSG:3976."""
+    from rasterio_spark.grid.crs import from_dict
+
+    src_proj = {
+        "ellps": "WGS84",
+        "proj": "stere",
+        "lat_0": -90.0,
+        "lon_0": 0.0,
+        "x_0": 0.0,
+        "y_0": 0.0,
+        "lat_ts": -70,
+    }
+    assert from_dict(src_proj) == "EPSG:3976"
+
+
 def test_reproject_3413_pure_jvm(spark):
     """reproject 4326 -> 3413 (polar science grid) composes through
     transform_points_cols; the plan stays JVM-only."""
