@@ -89,15 +89,8 @@ def eqc_epsg_for_spec(spec: str) -> int | None:
     return _EQC_BY_CANON.get(spec)
 
 
-def _mu_scalar(lat_deg: float) -> float:
-    """Rectifying latitude of a scalar latitude (degrees)."""
-    phi = float(lat_deg) * D2R
-    t = math.sinh(math.asinh(math.tan(phi)) - E_ECC * math.atanh(E_ECC * math.sin(phi)))
-    xi_p = math.atan(t)
-    mu = xi_p
-    for j, a in enumerate(ALPHA, start=1):
-        mu += a * math.sin(2 * j * xi_p)
-    return mu
+# scalar rectifying latitude: the same series as utm's fn_eff fold
+from rasterio_spark.grid.utm import _mu as _mu_scalar
 
 
 def _eqc_consts(lat_ts, lat_0, lon_0, x_0, y_0) -> dict:
@@ -332,8 +325,11 @@ def forward_sql(lon_sql: str, lat_sql: str, code) -> tuple[str, str]:
     p = _params(code)
     if p is None:
         raise ValueError(f"not a supported cylindrical CRS: {code}")
-    phi = f"(({lat_sql}) * {D2R!r})"
-    dlam = f"(({lon_sql}) * {D2R!r} - {p['lon0']!r})"
+    # CAST at derivation: DuckDB keeps DECIMAL literals DECIMAL through
+    # pure +/-/* chains (overflowing DECIMAL(38) at full precision);
+    # every downstream product must see a DOUBLE operand
+    phi = f"CAST((({lat_sql}) * {D2R!r}) AS DOUBLE)"
+    dlam = f"CAST((({lon_sql}) * {D2R!r} - {p['lon0']!r}) AS DOUBLE)"
     if p["kind"] == "sinu_sph":
         return (
             f"({p['fe']!r} + {p['r']!r} * {dlam} * cos({phi}))",
@@ -346,11 +342,8 @@ def forward_sql(lon_sql: str, lat_sql: str, code) -> tuple[str, str]:
             f"({p['fe']!r} + {nucos} * {dlam})",
             f"({p['fn']!r} + {A_CAP!r} * {_mu_sql(lat_sql)})",
         )
-    # CAST: the x expression is pure linear arithmetic — DuckDB keeps
-    # DECIMAL literals DECIMAL through +/-/*, unlike every other
-    # projection whose function calls coerce to DOUBLE
     return (
-        f"CAST(({p['fe']!r} + {p['nu1cos']!r} * {dlam}) AS DOUBLE)",
+        f"({p['fe']!r} + {p['nu1cos']!r} * {dlam})",
         f"({p['fn']!r} + {A_CAP!r} * {_mu_sql(lat_sql)})",
     )
 
@@ -360,9 +353,10 @@ def inverse_sql(x_sql: str, y_sql: str, code) -> tuple[str, str]:
     p = _params(code)
     if p is None:
         raise ValueError(f"not a supported cylindrical CRS: {code}")
-    dx = f"(({x_sql}) - {p['fe']!r})"
+    dx = f"CAST((({x_sql}) - {p['fe']!r}) AS DOUBLE)"
     if p["kind"] == "sinu_sph":
-        phi = f"((({y_sql}) - {p['fn']!r}) / {p['r']!r})"
+        # phi is pure linear arithmetic — same DECIMAL-literal hazard
+        phi = f"CAST(((({y_sql}) - {p['fn']!r}) / {p['r']!r}) AS DOUBLE)"
         lam = (
             f"(CASE WHEN abs(cos({phi})) < 1e-12 THEN {p['lon0']!r} ELSE "
             f"{p['lon0']!r} + {dx} / ({p['r']!r} * cos({phi})) END)"
@@ -378,6 +372,6 @@ def inverse_sql(x_sql: str, y_sql: str, code) -> tuple[str, str]:
         )
         return f"({lam} / {D2R!r})", f"({phi} / {D2R!r})"
     return (
-        f"CAST((({p['lon0']!r} + {dx} / {p['nu1cos']!r}) / {D2R!r}) AS DOUBLE)",
+        f"(({p['lon0']!r} + {dx} / {p['nu1cos']!r}) / {D2R!r})",
         f"({phi} / {D2R!r})",
     )

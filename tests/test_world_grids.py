@@ -256,6 +256,25 @@ def test_duckdb_sql_match_numpy():
         assert abs(float(lo) - lons[4]) < 1e-8 and abs(float(la) - lats[4]) < 1e-9, code
 
 
+def test_sql_twins_survive_decimal_literals():
+    """DuckDB parses numeric literals as DECIMAL and keeps them DECIMAL
+    through pure +/-/* chains — full-precision inputs overflow
+    DECIMAL(38) unless the pure-linear expressions CAST to DOUBLE
+    (review finding; the function-call projections coerce for free)."""
+    con = duckdb.connect()
+    for crs in (C.MODIS_SINU, "EPSG:4087"):
+        sx, sy = transform_points_sql("EPSG:4326", crs, "40.123456789012345", "-33.987654321098765")
+        gx, gy = con.execute(f"SELECT {sx}, {sy}").fetchone()
+        assert isinstance(gx, float) and isinstance(gy, float), crs
+        ex, ey = transform_points("EPSG:4326", crs, [40.123456789012345], [-33.987654321098765])
+        assert abs(gx - ex[0]) < 1e-6 and abs(gy - ey[0]) < 1e-6, crs
+        ix, iy = transform_points_sql(crs, "EPSG:4326", repr(float(ex[0])), repr(float(ey[0])))
+        glon, glat = con.execute(f"SELECT {ix}, {iy}").fetchone()
+        assert isinstance(glon, float) and isinstance(glat, float), crs
+        assert abs(glon - 40.123456789012345) < 1e-8, crs
+        assert abs(glat + 33.987654321098765) < 1e-9, crs
+
+
 def test_composed_pairs_through_hub():
     # Arctic grid -> Antarctic grid is nonsense geographically but the
     # hub composes any supported pair through 4326 losslessly for
