@@ -81,6 +81,10 @@ def from_dict(initialdata=None, **kwargs) -> str:
     if not d:
         raise CRSError("CRS is empty or invalid: {}")
     d = {str(k).lower(): v for k, v in d.items()}
+    for junk in ("no_defs", "wktext", "type"):
+        d.pop(junk, None)
+    if not d:
+        raise CRSError("CRS is empty or invalid: {}")
     init = d.get("init")
     if init is not None:
         auth, _, code = str(init).partition(":")
@@ -102,12 +106,39 @@ def from_dict(initialdata=None, **kwargs) -> str:
             "WGS84/GRS80 family only)"
         )
     if proj in ("merc", "webmerc"):
-        # spherical web mercator: +a=6378137 (+b=a), k=1, lat_ts/lon_0/x_0/y_0 = 0
-        a = float(d.get("a", R))
-        b = float(d.get("b", a))
-        if a == R and b == R:
-            return "EPSG:3857"
-        raise CRSError(f"unsupported mercator parameters {d!r} (engine ships EPSG:3857 only)")
+        try:
+            zero = all(
+                float(d.get(k2, 0) or 0) == 0.0 for k2 in ("lat_ts", "lon_0", "x_0", "y_0")
+            ) and float(d.get("k", d.get("k_0", 1)) or 1) == 1.0
+        except (TypeError, ValueError):
+            raise CRSError(f"non-numeric projection parameter in {d!r}")
+        if not zero:
+            raise CRSError(
+                f"unsupported mercator parameters {d!r} "
+                "(engine ships natural-origin EPSG:3857/3395 only)"
+            )
+        a = d.get("a")
+        if proj == "webmerc" or a is not None:
+            # explicit sphere: +a=6378137 (+b=a) is web mercator
+            try:
+                a_f = float(a if a is not None else R)
+                b_f = float(d.get("b", a_f))
+            except (TypeError, ValueError):
+                raise CRSError(f"non-numeric projection parameter in {d!r}")
+            if a_f == R and b_f == R:
+                return "EPSG:3857"
+            raise CRSError(
+                f"unsupported mercator sphere {d!r} (engine ships EPSG:3857 only)"
+            )
+        # no sphere override: +proj=merc on the WGS84 ellipsoid is
+        # ellipsoidal World Mercator (EPSG:3395), not web mercator
+        datum = str(d.get("datum", "WGS84")).upper()
+        ellps = str(d.get("ellps", "WGS84")).upper()
+        if datum == "WGS84" and ellps == "WGS84":
+            return "EPSG:3395"
+        raise CRSError(
+            f"unsupported mercator datum {d!r} (engine ships WGS84 only)"
+        )
     if proj == "utm":
         # +proj=utm +zone=N [+south] +datum=WGS84 -> EPSG:326xx/327xx
         try:
@@ -393,6 +424,123 @@ def to_epsg(crs) -> int | None:
         except ValueError:
             return None
     return None
+
+
+def to_authority(crs) -> tuple[str, str] | None:
+    """("EPSG", "n") for an EPSG-addressable CRS, else None (reference
+    crs.pyx to_authority)."""
+    code = to_epsg(crs)
+    return ("EPSG", str(code)) if code is not None else None
+
+
+def to_dict(crs) -> dict:
+    """PROJ parameter dict for a CRS the engine ships (reference
+    crs.pyx to_dict). The dict ROUND-TRIPS: from_dict(to_dict(c))
+    normalizes back to the same CRS. Codes with no unambiguous PROJ4
+    form (the bare-GRS80 geographic aliases 4258/4283/4167/4759/4171
+    and the ETRS89/GDA94 UTM series, whose PROJ4 is identical to other
+    CRSs') raise CRSError — use the EPSG code itself, the same
+    lossiness PROJ4 export has always had."""
+    from rasterio_spark.grid import conic, cylindrical, projections, utm
+
+    s = normalize_crs(crs)
+    if s == "EPSG:4326":
+        return {"proj": "longlat", "datum": "WGS84", "no_defs": True}
+    if s == "EPSG:4269":
+        return {"proj": "longlat", "datum": "NAD83", "no_defs": True}
+    if s == "EPSG:3857":
+        return {
+            "proj": "merc", "a": R, "b": R, "lat_ts": 0.0, "lon_0": 0.0,
+            "x_0": 0.0, "y_0": 0.0, "k": 1.0, "units": "m",
+            "nadgrids": "@null", "no_defs": True,
+        }
+    if s == "EPSG:3395":
+        return {"proj": "merc", "datum": "WGS84", "units": "m", "no_defs": True}
+    if s.startswith("PROJ4:"):
+        # canonical parameterized spec: parse back to its parameters
+        kind, d = utm.spec_dict(s)
+        out: dict = {"proj": kind}
+        for k2, v in d.items():
+            out["R" if k2 == "r" else k2] = v
+        out["no_defs"] = True
+        return out
+    code = to_epsg(s)
+    if code is not None:
+        if 32601 <= code <= 32660 or 32701 <= code <= 32760:
+            zone = code % 100
+            out = {"proj": "utm", "zone": zone, "datum": "WGS84",
+                   "units": "m", "no_defs": True}
+            if code > 32700:
+                out["south"] = True
+            return out
+        if 26901 <= code <= 26923:
+            return {"proj": "utm", "zone": code - 26900, "datum": "NAD83",
+                    "units": "m", "no_defs": True}
+        raw = utm._TM_RAW.get(code)
+        if raw is not None:
+            lat_0, lon_0, k0, x_0, y_0 = raw
+            return {"proj": "tmerc", "lat_0": lat_0, "lon_0": lon_0,
+                    "k_0": k0, "x_0": x_0, "y_0": y_0, "ellps": "GRS80",
+                    "units": "m", "no_defs": True}
+        raw = projections._STEREO_RAW.get(code)
+        if raw is not None:
+            lat_0, lon_0, k0, fe, fn = raw
+            return {"proj": "stere", "lat_0": lat_0, "lon_0": lon_0,
+                    "k_0": k0, "x_0": fe, "y_0": fn, "ellps": "WGS84",
+                    "units": "m", "no_defs": True}
+        raw = conic._RAW.get(code)
+        if raw is not None:
+            kind, lat_1, lat_2, lat_0, lon_0, x_0, y_0 = raw
+            out = {"proj": kind, "lat_0": lat_0, "lon_0": lon_0,
+                   "x_0": x_0, "y_0": y_0, "ellps": "GRS80",
+                   "units": "m", "no_defs": True}
+            if kind in ("lcc", "aea"):
+                out["lat_1"] = lat_1
+                out["lat_2"] = lat_2
+            return out
+        raw = cylindrical._EQC_RAW.get(code)
+        if raw is not None:
+            lat_ts, lat_0, lon_0, x_0, y_0 = raw
+            return {"proj": "eqc", "lat_ts": lat_ts, "lat_0": lat_0,
+                    "lon_0": lon_0, "x_0": x_0, "y_0": y_0,
+                    "ellps": "WGS84", "units": "m", "no_defs": True}
+    raise CRSError(
+        f"CRS {s} has no unambiguous PROJ dict form in this engine "
+        "(use the EPSG code)"
+    )
+
+
+def to_proj4(crs) -> str:
+    """PROJ4 string (reference crs.pyx to_proj4; same round-trip and
+    lossiness contract as :func:`to_dict`)."""
+    d = to_dict(crs)
+    parts = [f"+proj={d.pop('proj')}"]
+    for k2, v in d.items():
+        if v is True:
+            parts.append(f"+{k2}")
+        else:
+            parts.append(f"+{k2}={v}")
+    return " ".join(parts)
+
+
+def to_wkt(crs) -> str:
+    """Minimal WKT2 with the dataset-level EPSG identifier (reference
+    crs.pyx to_wkt): enough structure for any EPSG-authority-aware
+    reader — including this engine's own from_wkt — to resolve the
+    CRS. Parameterized PROJ4 specs have no authority and raise."""
+    s = normalize_crs(crs)
+    code = to_epsg(s)
+    if code is None:
+        raise CRSError(f"CRS {s} is not EPSG-addressable; WKT needs an authority")
+    kind = "GEOGCRS" if s in GEOGRAPHIC_WGS84_FAMILY else "PROJCRS"
+    return f'{kind}["{s}",ID["EPSG",{code}]]'
+
+
+def is_projected(crs) -> bool:
+    """True for a projected CRS. Unknown EPSG codes (which normalize
+    fine but error at transform time) are assumed projected — almost
+    every non-geographic EPSG code is."""
+    return not is_geographic(crs)
 
 
 def crs_equal(a, b) -> bool:

@@ -160,9 +160,11 @@ def test_normalize_feeds_operators():
         x, y = transform_points(normalize_crs(src), "EPSG:3857", [0.0], [0.0])
         assert abs(x[0]) < 1e-9 and abs(y[0]) < 1e-9
     # unsupported pair errors at transform time, not parse time
-    assert normalize_crs(26911) == "EPSG:26911"
+    # (26911 GRADUATED to supported in r5 — NY State Plane ftUS 2263
+    # stays out: non-meter units / NAD83 zone math the engine doesn't ship)
+    assert normalize_crs(2263) == "EPSG:2263"
     with pytest.raises(ValueError, match="unsupported CRS pair"):
-        transform_points("EPSG:26911", "EPSG:3857", np.array([0.0]), np.array([0.0]))
+        transform_points("EPSG:2263", "EPSG:3857", np.array([0.0]), np.array([0.0]))
 
 
 def test_epsg_roundtrip_property():
@@ -245,3 +247,65 @@ def test_json_array_string_raises_crserror():
     with pytest.raises(CRSError, match="object of PROJ params"):
         from_string("[1, 2]")
     assert normalize_crs("[1, 2]") == "[1,2]"  # lenient pass-through survives
+
+
+# --------------------------------------------------------- exporters (r5)
+
+
+def test_exporters_round_trip_every_registry_family():
+    """to_dict/to_proj4 ROUND-TRIP through from_dict/from_proj4 for one
+    representative of every registry family (reference crs.pyx
+    to_dict/to_proj4/to_authority/to_wkt surface)."""
+    from rasterio_spark.grid import cylindrical as C
+    from rasterio_spark.grid.crs import to_dict, to_proj4, to_wkt, to_authority
+
+    codes = [
+        "EPSG:4326", "EPSG:4269", "EPSG:3857", "EPSG:3395", "EPSG:32618",
+        "EPSG:32755", "EPSG:26911", "EPSG:2193", "EPSG:32661", "EPSG:3413",
+        "EPSG:3031", "EPSG:3032", "EPSG:2154", "EPSG:5070", "EPSG:3577",
+        "EPSG:3035", "EPSG:4087", C.MODIS_SINU,
+        "PROJ4:+proj=stere +lat_0=90.0 +lon_0=10.0 +k_0=0.93 +x_0=0.0 +y_0=0.0",
+    ]
+    for c in codes:
+        assert from_dict(to_dict(c)) == normalize_crs(c), c
+        assert from_proj4(to_proj4(c)) == normalize_crs(c), c
+    # WKT carries the dataset-level EPSG identifier our own parser reads
+    for c in ("EPSG:4326", "EPSG:3413", "EPSG:4087"):
+        assert from_wkt(to_wkt(c)) == c
+    assert to_authority("EPSG:3031") == ("EPSG", "3031")
+    assert to_authority(C.MODIS_SINU) is None
+
+
+def test_exporters_reject_ambiguous_proj4():
+    """Codes whose PROJ4 is identical to another CRS's (bare-GRS80
+    geographic aliases, ETRS89/GDA94 UTM) refuse lossy export; specs
+    without an EPSG authority refuse WKT."""
+    from rasterio_spark.grid import cylindrical as C
+    from rasterio_spark.grid.crs import to_dict, to_wkt
+
+    with pytest.raises(CRSError, match="no unambiguous"):
+        to_dict("EPSG:4258")
+    with pytest.raises(CRSError, match="no unambiguous"):
+        to_dict("EPSG:25832")
+    with pytest.raises(CRSError, match="authority"):
+        to_wkt(C.MODIS_SINU)
+
+
+def test_merc_dict_is_ellipsoidal_3395():
+    """+proj=merc on the WGS84 ellipsoid (no +a/+b sphere override) is
+    World Mercator EPSG:3395; the sphere form stays web mercator. The
+    reference reaches the same answers through PROJ."""
+    assert from_proj4("+proj=merc +datum=WGS84 +units=m +no_defs") == "EPSG:3395"
+    assert from_proj4(
+        "+proj=merc +a=6378137 +b=6378137 +lat_ts=0 +lon_0=0 "
+        "+x_0=0 +y_0=0 +k=1 +units=m +no_defs"
+    ) == "EPSG:3857"
+    with pytest.raises(CRSError, match="natural-origin"):
+        from_proj4("+proj=merc +lat_ts=45 +datum=WGS84")
+
+
+def test_is_projected_predicate():
+    from rasterio_spark.grid.crs import is_projected
+
+    assert is_projected("EPSG:3413") and is_projected("EPSG:32618")
+    assert not is_projected("EPSG:4326") and not is_projected(4269)
