@@ -49,6 +49,12 @@ from rasterio_spark.grid.utm import (
     E_ECC,
     _atanh,
     _sinh,
+    wrap_lon_cols,
+    wrap_lon_np,
+    wrap_lon_sql,
+    wrap_rad_cols,
+    wrap_rad_np,
+    wrap_rad_sql,
 )
 
 E2 = E_ECC * E_ECC
@@ -290,11 +296,11 @@ def forward(lon, lat, code):
     lat = np.asarray(lat, dtype="float64")
     if p["kind"] == "lcc":
         rho = p["aF"] * np.exp(-p["n"] * _psi_np(lat))
-        th = p["n"] * (lon * D2R - p["lam_f"])
+        th = p["n"] * wrap_rad_np(lon * D2R - p["lam_f"])
         return p["fe"] + rho * np.sin(th), p["fn"] + p["rho_f"] - rho * np.cos(th)
     if p["kind"] == "albers":
         rho = A_WGS84 * np.sqrt(p["c"] - p["n"] * _q_np(lat)) / p["n"]
-        th = p["n"] * (lon * D2R - p["lam_f"])
+        th = p["n"] * wrap_rad_np(lon * D2R - p["lam_f"])
         return p["fe"] + rho * np.sin(th), p["fn"] + p["rho_f"] - rho * np.cos(th)
     # laea
     beta = np.arcsin(np.clip(_q_np(lat) / _QP, -1.0, 1.0))
@@ -320,6 +326,7 @@ def inverse(x, y, code):
         rho = sgn * np.hypot(dx, dy)
         th = np.arctan2(sgn * dx, sgn * dy)
         lam = th / p["n"] + p["lam_f"]
+        lam = wrap_rad_np(lam)
         if p["kind"] == "lcc":
             with np.errstate(divide="ignore"):
                 psi = -np.log(rho / p["aF"]) / p["n"]
@@ -342,7 +349,7 @@ def inverse(x, y, code):
         rho * p["cb0"] * np.cos(cc) - dy * p["sb0"] * np.sin(cc),
     )
     lam = np.where(rho == 0.0, p["lam_0"], lam)
-    return lam / D2R, _beta_to_phi_np(beta) / D2R
+    return wrap_lon_np(lam / D2R), _beta_to_phi_np(beta) / D2R
 
 
 # ------------------------------------------------------------ Spark cols
@@ -388,11 +395,11 @@ def forward_cols(lon, lat, code):
     p = _resolve(code)
     if p["kind"] == "lcc":
         rho = F.exp(_psi_cols(lat) * (-p["n"])) * p["aF"]
-        th = (lon * D2R - p["lam_f"]) * p["n"]
+        th = wrap_rad_cols(lon * D2R - p["lam_f"]) * p["n"]
         return F.lit(p["fe"]) + rho * F.sin(th), F.lit(p["fn"] + p["rho_f"]) - rho * F.cos(th)
     if p["kind"] == "albers":
         rho = F.sqrt(F.lit(p["c"]) - _q_cols(lat) * p["n"]) * (A_WGS84 / p["n"])
-        th = (lon * D2R - p["lam_f"]) * p["n"]
+        th = wrap_rad_cols(lon * D2R - p["lam_f"]) * p["n"]
         return F.lit(p["fe"]) + rho * F.sin(th), F.lit(p["fn"] + p["rho_f"]) - rho * F.cos(th)
     beta = _asin_cols(_q_cols(lat) / _QP)
     dl = lon * D2R - p["lam_0"]
@@ -413,7 +420,7 @@ def inverse_cols(x, y, code):
         dx = x - F.lit(p["fe"])
         dy = F.lit(p["rho_f"]) - (y - F.lit(p["fn"]))
         rho = F.sqrt(dx * dx + dy * dy) * sgn
-        lam = F.atan2(dx * sgn, dy * sgn) / p["n"] + p["lam_f"]
+        lam = wrap_rad_cols(F.atan2(dx * sgn, dy * sgn) / p["n"] + p["lam_f"])
         if p["kind"] == "lcc":
             psi = F.log(rho / p["aF"]) * (-1.0 / p["n"])
             chi = F.atan(F.sinh(psi))
@@ -434,7 +441,7 @@ def inverse_cols(x, y, code):
         F.lit(p["lam_0"])
         + F.atan2(dx * F.sin(cc), rho * F.cos(cc) * p["cb0"] - dy * F.sin(cc) * p["sb0"])
     )
-    return lam / D2R, _series_cols(beta, BETA_TO_PHI) / D2R
+    return wrap_lon_cols(lam / D2R), _series_cols(beta, BETA_TO_PHI) / D2R
 
 
 # ------------------------------------------------------------ DuckDB SQL
@@ -471,14 +478,16 @@ def forward_sql(lon_sql: str, lat_sql: str, code) -> tuple[str, str]:
     p = _resolve(code)
     if p["kind"] == "lcc":
         rho = f"({p['aF']!r} * exp(-{p['n']!r} * {_psi_sql(lat_sql)}))"
-        th = f"({p['n']!r} * (({lon_sql}) * {D2R!r} - {p['lam_f']!r}))"
+        dlam = wrap_rad_sql(f"(({lon_sql}) * {D2R!r} - {p['lam_f']!r})")
+        th = f"({p['n']!r} * {dlam})"
         return (
             f"({p['fe']!r} + {rho} * sin({th}))",
             f"({p['fn'] + p['rho_f']!r} - {rho} * cos({th}))",
         )
     if p["kind"] == "albers":
         rho = f"({A_WGS84 / p['n']!r} * sqrt({p['c']!r} - {p['n']!r} * {_q_sql(lat_sql)}))"
-        th = f"({p['n']!r} * (({lon_sql}) * {D2R!r} - {p['lam_f']!r}))"
+        dlam = wrap_rad_sql(f"(({lon_sql}) * {D2R!r} - {p['lam_f']!r})")
+        th = f"({p['n']!r} * {dlam})"
         return (
             f"({p['fe']!r} + {rho} * sin({th}))",
             f"({p['fn'] + p['rho_f']!r} - {rho} * cos({th}))",
@@ -504,7 +513,9 @@ def inverse_sql(x_sql: str, y_sql: str, code) -> tuple[str, str]:
         dx = f"(({x_sql}) - {p['fe']!r})"
         dy = f"({p['rho_f']!r} - (({y_sql}) - {p['fn']!r}))"
         rho = f"({sgn!r} * sqrt({dx} * {dx} + {dy} * {dy}))"
-        lam = f"(atan2({sgn!r} * {dx}, {sgn!r} * {dy}) / {p['n']!r} + {p['lam_f']!r})"
+        lam = wrap_rad_sql(
+            f"(atan2({sgn!r} * {dx}, {sgn!r} * {dy}) / {p['n']!r} + {p['lam_f']!r})"
+        )
         if p["kind"] == "lcc":
             psi = f"(-ln({rho} / {p['aF']!r}) / {p['n']!r})"
             chi = f"atan({_sinh(psi)})"
@@ -524,7 +535,7 @@ def inverse_sql(x_sql: str, y_sql: str, code) -> tuple[str, str]:
         f"{_QP!r} * (cos({cc}) * {p['sb0']!r} + {dy} * sin({cc}) * {p['cb0']!r} / {rho}) END)"
     )
     beta = _asin_sql(f"{qq} / {_QP!r}")
-    lam = (
+    lam = wrap_rad_sql(
         f"(CASE WHEN {rho} = 0.0 THEN {p['lam_0']!r} ELSE "
         f"{p['lam_0']!r} + atan2({dx} * sin({cc}),"
         f" {rho} * cos({cc}) * {p['cb0']!r} - {dy} * sin({cc}) * {p['sb0']!r}) END)"

@@ -48,6 +48,12 @@ from rasterio_spark.grid.utm import (
     _atanh,
     _sinh,
     spec_dict,
+    wrap_lon_cols,
+    wrap_lon_np,
+    wrap_lon_sql,
+    wrap_rad_cols,
+    wrap_rad_np,
+    wrap_rad_sql,
 )
 
 E2 = E_ECC * E_ECC
@@ -187,7 +193,7 @@ def forward(lon, lat, code):
     lon = np.asarray(lon, dtype="float64")
     lat = np.asarray(lat, dtype="float64")
     phi = lat * D2R
-    dlam = lon * D2R - p["lon0"]
+    dlam = wrap_rad_np(lon * D2R - p["lon0"])
     if p["kind"] == "sinu_sph":
         return p["fe"] + p["r"] * dlam * np.cos(phi), p["fn"] + p["r"] * phi
     if p["kind"] == "sinu":
@@ -211,7 +217,7 @@ def inverse(x, y, code):
         with np.errstate(divide="ignore", invalid="ignore"):
             lam = p["lon0"] + dx / (p["r"] * cphi)
         lam = np.where(np.abs(cphi) < 1e-12, p["lon0"], lam)  # exact pole
-        return lam / D2R, phi / D2R
+        return wrap_lon_np(lam / D2R), phi / D2R
     phi = _mu_inv_np((y - p["fn"]) / A_CAP)
     if p["kind"] == "sinu":
         s = np.sin(phi)
@@ -219,8 +225,8 @@ def inverse(x, y, code):
         with np.errstate(divide="ignore", invalid="ignore"):
             lam = p["lon0"] + dx / nucos
         lam = np.where(np.abs(np.cos(phi)) < 1e-12, p["lon0"], lam)
-        return lam / D2R, phi / D2R
-    return (p["lon0"] + dx / p["nu1cos"]) / D2R, phi / D2R
+        return wrap_lon_np(lam / D2R), phi / D2R
+    return wrap_lon_np((p["lon0"] + dx / p["nu1cos"]) / D2R), phi / D2R
 
 
 # ------------------------------------------------------------ Spark cols
@@ -258,7 +264,7 @@ def forward_cols(lon, lat, code):
     if p is None:
         raise ValueError(f"not a supported cylindrical CRS: {code}")
     phi = lat * D2R
-    dlam = lon * D2R - p["lon0"]
+    dlam = wrap_rad_cols(lon * D2R - p["lon0"])
     if p["kind"] == "sinu_sph":
         return F.lit(p["fe"]) + dlam * F.cos(phi) * p["r"], F.lit(p["fn"]) + phi * p["r"]
     if p["kind"] == "sinu":
@@ -285,7 +291,7 @@ def inverse_cols(x, y, code):
         lam = F.when(F.abs(cphi) < 1e-12, p["lon0"]).otherwise(
             F.lit(p["lon0"]) + dx / (cphi * p["r"])
         )
-        return lam / D2R, phi / D2R
+        return wrap_lon_cols(lam / D2R), phi / D2R
     phi = _mu_inv_cols((y - F.lit(p["fn"])) / A_CAP)
     if p["kind"] == "sinu":
         s = F.sin(phi)
@@ -293,8 +299,8 @@ def inverse_cols(x, y, code):
         lam = F.when(F.abs(F.cos(phi)) < 1e-12, p["lon0"]).otherwise(
             F.lit(p["lon0"]) + dx / nucos
         )
-        return lam / D2R, phi / D2R
-    return (F.lit(p["lon0"]) + dx / p["nu1cos"]) / D2R, phi / D2R
+        return wrap_lon_cols(lam / D2R), phi / D2R
+    return wrap_lon_cols((F.lit(p["lon0"]) + dx / p["nu1cos"]) / D2R), phi / D2R
 
 
 # ------------------------------------------------------------ DuckDB SQL
@@ -329,7 +335,7 @@ def forward_sql(lon_sql: str, lat_sql: str, code) -> tuple[str, str]:
     # pure +/-/* chains (overflowing DECIMAL(38) at full precision);
     # every downstream product must see a DOUBLE operand
     phi = f"CAST((({lat_sql}) * {D2R!r}) AS DOUBLE)"
-    dlam = f"CAST((({lon_sql}) * {D2R!r} - {p['lon0']!r}) AS DOUBLE)"
+    dlam = wrap_rad_sql(f"CAST((({lon_sql}) * {D2R!r} - {p['lon0']!r}) AS DOUBLE)")
     if p["kind"] == "sinu_sph":
         return (
             f"({p['fe']!r} + {p['r']!r} * {dlam} * cos({phi}))",
@@ -361,7 +367,7 @@ def inverse_sql(x_sql: str, y_sql: str, code) -> tuple[str, str]:
             f"(CASE WHEN abs(cos({phi})) < 1e-12 THEN {p['lon0']!r} ELSE "
             f"{p['lon0']!r} + {dx} / ({p['r']!r} * cos({phi})) END)"
         )
-        return f"({lam} / {D2R!r})", f"({phi} / {D2R!r})"
+        return wrap_lon_sql(f"({lam} / {D2R!r})"), f"({phi} / {D2R!r})"
     phi = _mu_inv_sql(f"((({y_sql}) - {p['fn']!r}) / {A_CAP!r})")
     if p["kind"] == "sinu":
         s = f"sin({phi})"
@@ -370,8 +376,8 @@ def inverse_sql(x_sql: str, y_sql: str, code) -> tuple[str, str]:
             f"(CASE WHEN abs(cos({phi})) < 1e-12 THEN {p['lon0']!r} ELSE "
             f"{p['lon0']!r} + {dx} / {nucos} END)"
         )
-        return f"({lam} / {D2R!r})", f"({phi} / {D2R!r})"
+        return wrap_lon_sql(f"({lam} / {D2R!r})"), f"({phi} / {D2R!r})"
     return (
-        f"(({p['lon0']!r} + {dx} / {p['nu1cos']!r}) / {D2R!r})",
+        wrap_lon_sql(f"(({p['lon0']!r} + {dx} / {p['nu1cos']!r}) / {D2R!r})"),
         f"({phi} / {D2R!r})",
     )

@@ -50,6 +50,9 @@ from rasterio_spark.grid.utm import (
     _cosh,
     _sinh,
     spec_dict,
+    wrap_lon_cols,
+    wrap_lon_np,
+    wrap_lon_sql,
 )
 
 UPS_K0 = 0.994
@@ -221,7 +224,7 @@ def inverse(x, y, code):
         chi = np.arctan(np.sinh(psi))
         chi = np.where(rho == 0.0, np.pi / 2.0, chi)
         lam = p["lon0"] + np.arctan2(dx, dy)
-        return lam / D2R, sgn * _chi_to_phi_np(chi) / D2R
+        return wrap_lon_np(lam / D2R), sgn * _chi_to_phi_np(chi) / D2R
     raise ValueError(f"not a supported projection EPSG code: {code}")
 
 
@@ -291,7 +294,7 @@ def inverse_cols(x, y, code):
             F.atan(F.sinh(F.log(rho / p["rho_scale"]) * -1.0))
         )
         lam = F.lit(p["lon0"]) + F.atan2(dx, dy)
-        return lam / D2R, _chi_to_phi_cols(chi) * (sgn / D2R)
+        return wrap_lon_cols(lam / D2R), _chi_to_phi_cols(chi) * (sgn / D2R)
     raise ValueError(f"not a supported projection EPSG code: {code}")
 
 
@@ -361,7 +364,7 @@ def inverse_sql(x_sql: str, y_sql: str, code) -> tuple[str, str]:
         psi = f"(-ln({rho} / {p['rho_scale']!r}))"
         chi = f"atan({_sinh(psi)})"
         return (
-            f"(({p['lon0']!r} + atan2({dx}, {dy})) / {D2R!r})",
+            wrap_lon_sql(f"(({p['lon0']!r} + atan2({dx}, {dy})) / {D2R!r})"),
             f"({sgn!r} * {_chi_to_phi_sql(chi)} / {D2R!r})",
         )
     raise ValueError(f"not a supported projection EPSG code: {code}")

@@ -70,6 +70,48 @@ CHI_TO_PHI = (
 )
 
 D2R = math.pi / 180.0
+TWO_PI = 2.0 * math.pi
+
+
+# -------------------------------------------------- longitude wrapping
+#
+# PROJ adjusts longitudes into (-pi, pi] around the central meridian
+# (adjlon) before projecting, and inverse longitudes back into range.
+# The engine's forwards that are 2pi-periodic in lam (tmerc, polar
+# stereographic, laea, mercator) need no input wrap — sin/cos absorb
+# it — but conic th = n*dlam and the linear cylindrical x do, and
+# every inverse with a nonzero lon_0 must wrap its output (NZTM
+# antimeridian points, EPSG:3413's lon_0=-45). floor identity keeps
+# in-range values EXACTLY unchanged (subtracts 0.0) in all three
+# forms, so existing oracle hashes are untouched.
+
+
+def wrap_lon_np(lon_deg):
+    return lon_deg - 360.0 * np.floor((lon_deg + 180.0) / 360.0)
+
+
+def wrap_rad_np(lam):
+    return lam - TWO_PI * np.floor((lam + math.pi) / TWO_PI)
+
+
+def wrap_lon_cols(lon):
+    from pyspark.sql import functions as F
+
+    return lon - F.floor((lon + 180.0) / 360.0).cast("double") * 360.0
+
+
+def wrap_rad_cols(lam):
+    from pyspark.sql import functions as F
+
+    return lam - F.floor((lam + math.pi) / TWO_PI).cast("double") * TWO_PI
+
+
+def wrap_lon_sql(lon_sql: str) -> str:
+    return f"(({lon_sql}) - 360.0 * floor((({lon_sql}) + 180.0) / 360.0))"
+
+
+def wrap_rad_sql(lam_sql: str) -> str:
+    return f"(({lam_sql}) - {TWO_PI!r} * floor((({lam_sql}) + {math.pi!r}) / {TWO_PI!r}))"
 
 
 def utm_epsg_params(code: int) -> tuple[float, float] | None:
@@ -248,7 +290,7 @@ def inverse(x, y, code: int):
     for j, c in enumerate(CHI_TO_PHI, start=1):
         phi = phi + c * np.sin(2 * j * chi)
     lam = np.arctan2(np.sinh(eta_p), np.cos(xi_p))
-    return lon0 + lam / D2R, phi / D2R
+    return wrap_lon_np(lon0 + lam / D2R), phi / D2R
 
 
 # ------------------------------------------------------------ Spark cols
@@ -295,7 +337,7 @@ def inverse_cols(x, y, code: int):
     for j, c in enumerate(CHI_TO_PHI, start=1):
         phi = phi + F.lit(c) * F.sin(chi * (2 * j))
     lam = F.atan2(F.sinh(eta_p), F.cos(xi_p))
-    return F.lit(lon0) + lam / D2R, phi / D2R
+    return wrap_lon_cols(F.lit(lon0) + lam / D2R), phi / D2R
 
 
 # ------------------------------------------------------------ DuckDB SQL
@@ -362,4 +404,4 @@ def inverse_sql(x_sql: str, y_sql: str, code: int) -> tuple[str, str]:
     for j, c in enumerate(CHI_TO_PHI, start=1):
         phi = f"({phi} + {c!r} * sin({2 * j} * ({chi})))"
     lam = f"atan2({_sinh(eta_p)}, cos({xi_p}))"
-    return f"({lon0!r} + ({lam}) / {D2R!r})", f"(({phi}) / {D2R!r})"
+    return wrap_lon_sql(f"({lon0!r} + ({lam}) / {D2R!r})"), f"(({phi}) / {D2R!r})"
