@@ -144,6 +144,25 @@ def q_pip_join_count(spark: SparkSession, sf_dir: str) -> DataFrame:
     return pip_join_count(_pages(spark, sf_dir), rect_polygons())
 
 
+def pip_join_count_sql() -> str:
+    """DuckDB twin of q_pip_join_count — out of the 50-cap registry
+    (slot given to transform_points_3413), kept oracle-verified by
+    tests/test_round5_fixes.py::test_pip_join_count_oracle_pin."""
+    from rasterio_spark.sources.pages import geocode_sql
+    from rasterio_spark.sources.polygons import rects_values_sql
+
+    lon_sql, lat_sql = geocode_sql()
+    return f"""
+        {_pages_cte()}, geo AS (
+          SELECT url, {lon_sql} AS lon, {lat_sql} AS lat FROM pages
+        )
+        SELECT CAST(r.polygon_id AS BIGINT) AS polygon_id, COUNT(*) AS n_pages
+        FROM geo g JOIN {rects_values_sql()}
+          ON g.lon >= r.x0 AND g.lon < r.x1 AND g.lat >= r.y0 AND g.lat < r.y1
+        GROUP BY 1
+    """.replace("AS rects(", "AS r(")
+
+
 def q_pip_join_sort_merge(spark: SparkSession, sf_dir: str) -> DataFrame:
     from rasterio_spark.operators.join import pip_join
     from rasterio_spark.sources.polygons import rect_polygons
@@ -335,6 +354,24 @@ def q_transform_points_32618(spark: SparkSession, sf_dir: str) -> DataFrame:
     ex, ny = utm.forward_cols(F.col("lon"), F.col("lat"), 32618)
     return geo.select(
         "url", F.round(ex, 2).alias("utm_e"), F.round(ny, 2).alias("utm_n")
+    )
+
+
+def q_transform_points_3413(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """warp.transform to the NSIDC Sea Ice Polar Stereographic North
+    grid (EPSG:3413, variant B lat_ts=70 / lon_0=-45) — pure JVM
+    column expressions through the same hub as 3857/32618
+    (grid/projections.py). All geocoded rows participate (the polar
+    stereographic forward is defined to the opposite pole); measured
+    JVM-vs-DuckDB divergence stays < 1e-6 m even at the largest radii,
+    so cm rounding is deterministic."""
+    from rasterio_spark.grid import projections
+    from rasterio_spark.sources.pages import with_geocode
+
+    geo = with_geocode(_pages(spark, sf_dir))
+    ex, ny = projections.forward_cols(F.col("lon"), F.col("lat"), 3413)
+    return geo.select(
+        "url", F.round(ex, 2).alias("ps_x"), F.round(ny, 2).alias("ps_y")
     )
 
 
@@ -640,7 +677,6 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "data_window": q_data_window,
         "zonal_stats": q_zonal_stats,
         "pip_join_pairs": q_pip_join_pairs,
-        "pip_join_count": q_pip_join_count,
         "knn": q_knn,
         "sample_points": q_sample_points,
         "asof_latest": q_asof_latest,
@@ -654,6 +690,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "reproject_average": q_reproject_average,
         "transform_points_3857": q_transform_points_3857,
         "transform_points_32618": q_transform_points_32618,
+        "transform_points_3413": q_transform_points_3413,
         "ivf_topk_pruned": q_ivf_topk_pruned,
         "text_features": q_text_features,
         "rolling_fingerprint": q_rolling_fingerprint,
@@ -681,7 +718,11 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     # min/max dropped from the 50-cap registry in r5 (redundant with
     # first/last/sum/count's shared reducer machinery); they stay
     # pinned by the pytest DuckDB-twin equivalence in
-    # tests/test_round5_fixes.py::test_merge_min_max_oracle_pin
+    # tests/test_round5_fixes.py::test_merge_min_max_oracle_pin.
+    # pip_join_count likewise gave its slot to transform_points_3413
+    # (r5 late — the polar science grid family): count is a pure
+    # aggregation of the hash-proven pip_join_pairs and stays pinned by
+    # tests/test_round5_fixes.py::test_pip_join_count_oracle_pin
     for m in ("first", "last", "sum", "count"):
         qs[f"merge_{m}"] = _merge_query(m)
     return qs
@@ -758,15 +799,8 @@ def oracle_sql() -> dict[str, str]:
           ON g.lon >= r.x0 AND g.lon < r.x1 AND g.lat >= r.y0 AND g.lat < r.y1
     """.replace("AS rects(", "AS r(")
     sqls["pip_join_pairs"] = pip_pairs
-    sqls["pip_join_count"] = f"""
-        {_pages_cte()}, geo AS (
-          SELECT url, {lon_sql} AS lon, {lat_sql} AS lat FROM pages
-        )
-        SELECT CAST(r.polygon_id AS BIGINT) AS polygon_id, COUNT(*) AS n_pages
-        FROM geo g JOIN {rects_values_sql()}
-          ON g.lon >= r.x0 AND g.lon < r.x1 AND g.lat >= r.y0 AND g.lat < r.y1
-        GROUP BY 1
-    """.replace("AS rects(", "AS r(")
+    # pip_join_count's twin lives in pip_join_count_sql() below, pinned
+    # by pytest since its registry slot went to transform_points_3413
     sqls["knn"] = f"{_pages_cte()} {knn_sql(KNN_QUERIES, KNN_K)}".replace(
         "WITH geo AS", ", geo AS", 1
     )
@@ -991,6 +1025,15 @@ def oracle_sql() -> dict[str, str]:
         SELECT url, round({ue}, 2) AS utm_e, round({un}, 2) AS utm_n
         FROM pages
         WHERE ({lon_sql}) >= -81.0 AND ({lon_sql}) <= -69.0
+    """
+
+    from rasterio_spark.grid import projections as _projections
+
+    px, py = _projections.forward_sql(lon_sql, lat_sql, 3413)
+    sqls["transform_points_3413"] = f"""
+        {_pages_cte()}
+        SELECT url, round({px}, 2) AS ps_x, round({py}, 2) AS ps_y
+        FROM pages
     """
 
     from rasterio_spark.operators.similarity import ivf_topk_pruned_sql

@@ -414,3 +414,32 @@ def test_cli_warp_without_dst_crs_still_downsamples(spark, tmp_path):
     out = spark.read.parquet(str(dst))
     assert out.count() == 4  # 4x4 -> 2x2 blocks
     assert {r["value"] for r in out.collect()} == {2.0}
+
+
+def test_pip_join_count_oracle_pin(spark):
+    """pip_join_count left the 50-cap driver registry (r5 late — its
+    slot went to transform_points_3413, the polar-science-grid family);
+    this pin keeps it oracle-verified: engine == DuckDB twin at
+    sf0.001, plus count == groupBy of the still-registered
+    pip_join_pairs."""
+    import importlib.util
+
+    import duckdb
+
+    spec = importlib.util.spec_from_file_location("entry_pin", "/root/repo/__spark_entry__.py")
+    m = importlib.util.module_from_spec(spec)
+    spec.loader.exec_module(m)
+
+    sf_dir = "/root/testdata/sf0.001"
+    got = m.q_pip_join_count(spark, sf_dir).toPandas().sort_values(
+        "polygon_id", ignore_index=True
+    )
+    con = duckdb.connect()
+    con.sql(f"CREATE VIEW documents AS SELECT * FROM '{sf_dir}/documents.parquet'")
+    exp = con.sql(m.pip_join_count_sql()).df().sort_values("polygon_id", ignore_index=True)
+    assert list(got["polygon_id"]) == list(exp["polygon_id"])
+    assert list(got["n_pages"]) == list(exp["n_pages"])
+    # and it is exactly the aggregation of the hash-proven pairs query
+    pairs = m.q_pip_join_pairs(spark, sf_dir).groupBy("polygon_id").count().toPandas()
+    agg = dict(zip(pairs["polygon_id"], pairs["count"]))
+    assert agg == dict(zip(got["polygon_id"], got["n_pages"]))
