@@ -475,6 +475,11 @@ def _series_sql(x: str, coeffs) -> str:
 
 def forward_sql(lon_sql: str, lat_sql: str, code) -> tuple[str, str]:
     """DuckDB (x, y) expression strings — identical literal constants."""
+    # CAST at derivation (CLAUDE.md DECIMAL-literal rule): wrapped
+    # dlam and th = n*dlam are pure +-* chains that overflow
+    # DECIMAL(38) on full-precision literal inputs
+    lon_sql = f"CAST(({lon_sql}) AS DOUBLE)"
+    lat_sql = f"CAST(({lat_sql}) AS DOUBLE)"
     p = _resolve(code)
     if p["kind"] == "lcc":
         rho = f"({p['aF']!r} * exp(-{p['n']!r} * {_psi_sql(lat_sql)}))"
@@ -507,6 +512,10 @@ def forward_sql(lon_sql: str, lat_sql: str, code) -> tuple[str, str]:
 
 def inverse_sql(x_sql: str, y_sql: str, code) -> tuple[str, str]:
     """DuckDB (lon, lat) expression strings from projected coordinates."""
+    # CAST at derivation: dx*dx inside sqrt is a pure DECIMAL product
+    # on literal inputs (CLAUDE.md DECIMAL-literal rule)
+    x_sql = f"CAST(({x_sql}) AS DOUBLE)"
+    y_sql = f"CAST(({y_sql}) AS DOUBLE)"
     p = _resolve(code)
     if p["kind"] in ("lcc", "albers"):
         sgn = 1.0 if p["n"] > 0 else -1.0  # GN7-2: rho' takes the sign of n
@@ -535,9 +544,10 @@ def inverse_sql(x_sql: str, y_sql: str, code) -> tuple[str, str]:
         f"{_QP!r} * (cos({cc}) * {p['sb0']!r} + {dy} * sin({cc}) * {p['cb0']!r} / {rho}) END)"
     )
     beta = _asin_sql(f"{qq} / {_QP!r}")
-    lam = wrap_rad_sql(
+    # degree-space wrap to mirror the np/cols forms bit-for-bit
+    lam = (
         f"(CASE WHEN {rho} = 0.0 THEN {p['lam_0']!r} ELSE "
         f"{p['lam_0']!r} + atan2({dx} * sin({cc}),"
         f" {rho} * cos({cc}) * {p['cb0']!r} - {dy} * sin({cc}) * {p['sb0']!r}) END)"
     )
-    return f"({lam} / {D2R!r})", f"({_series_sql(beta, BETA_TO_PHI)} / {D2R!r})"
+    return wrap_lon_sql(f"({lam} / {D2R!r})"), f"({_series_sql(beta, BETA_TO_PHI)} / {D2R!r})"

@@ -322,6 +322,11 @@ def forward_sql(lon_sql: str, lat_sql: str, code) -> tuple[str, str]:
     if cylindrical.is_supported(code):
         return cylindrical.forward_sql(lon_sql, lat_sql, code)
 
+    # CAST at derivation (CLAUDE.md DECIMAL-literal rule): 3395 x is
+    # linear in lon; the stereo theta subtraction is a +- chain
+    lon_sql = f"CAST(({lon_sql}) AS DOUBLE)"
+    lat_sql = f"CAST(({lat_sql}) AS DOUBLE)"
+
     if code == MERC_3395:
         return (
             f"(({lon_sql}) * {D2R * A_WGS84!r})",
@@ -347,6 +352,11 @@ def inverse_sql(x_sql: str, y_sql: str, code) -> tuple[str, str]:
         return conic.inverse_sql(x_sql, y_sql, code)
     if cylindrical.is_supported(code):
         return cylindrical.inverse_sql(x_sql, y_sql, code)
+
+    # CAST at derivation: 3395 inverse lon is linear in x; stereo
+    # dx*dx inside sqrt is a pure DECIMAL product on literal inputs
+    x_sql = f"CAST(({x_sql}) AS DOUBLE)"
+    y_sql = f"CAST(({y_sql}) AS DOUBLE)"
 
     if code == MERC_3395:
         chi = f"atan({_sinh(f'(({y_sql}) / {A_WGS84!r})')})"

@@ -75,15 +75,19 @@ TWO_PI = 2.0 * math.pi
 
 # -------------------------------------------------- longitude wrapping
 #
-# PROJ adjusts longitudes into (-pi, pi] around the central meridian
-# (adjlon) before projecting, and inverse longitudes back into range.
-# The engine's forwards that are 2pi-periodic in lam (tmerc, polar
-# stereographic, laea, mercator) need no input wrap — sin/cos absorb
-# it — but conic th = n*dlam and the linear cylindrical x do, and
-# every inverse with a nonzero lon_0 must wrap its output (NZTM
-# antimeridian points, EPSG:3413's lon_0=-45). floor identity keeps
-# in-range values EXACTLY unchanged (subtracts 0.0) in all three
-# forms, so existing oracle hashes are untouched.
+# PROJ adjusts longitudes around the central meridian (adjlon) before
+# projecting, and inverse longitudes back into range. The floor
+# identity here maps into [-pi, pi) — exactly +180 becomes -180 (same
+# meridian; the round-trip convention is the west side). Forwards
+# that are 2pi-periodic in lam (tmerc, polar stereographic, laea)
+# need no input wrap — sin/cos absorb it — but conic th = n*dlam and
+# the linear cylindrical x do, and every inverse with a nonzero lon_0
+# must wrap its output (NZTM antimeridian points, EPSG:3413's
+# lon_0=-45). Mercator (3857/3395) is also linear in lon but safe
+# UNWRAPPED only because both ship with lon_0 = 0 — a future
+# nonzero-lon_0 Mercator must wrap like the cylindricals. The floor
+# identity keeps in-range values EXACTLY unchanged (subtracts 0.0) in
+# all three forms, so existing oracle hashes are untouched.
 
 
 def wrap_lon_np(lon_deg):

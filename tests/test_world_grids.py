@@ -262,17 +262,29 @@ def test_sql_twins_survive_decimal_literals():
     DECIMAL(38) unless the pure-linear expressions CAST to DOUBLE
     (review finding; the function-call projections coerce for free)."""
     con = duckdb.connect()
-    for crs in (C.MODIS_SINU, "EPSG:4087"):
-        sx, sy = transform_points_sql("EPSG:4326", crs, "40.123456789012345", "-33.987654321098765")
+    lon = 40.123456789012345
+    cases = [
+        (C.MODIS_SINU, -33.987654321098765),
+        ("EPSG:4087", -33.987654321098765),
+        ("EPSG:3035", 52.987654321098765),
+        ("EPSG:2154", 46.987654321098765),
+        ("EPSG:3577", -25.987654321098765),
+        ("EPSG:3413", 72.987654321098765),
+        ("EPSG:3395", -33.987654321098765),
+        ("EPSG:32618", 40.987654321098765),
+    ]
+    for crs, lat in cases:
+        sx, sy = transform_points_sql("EPSG:4326", crs, repr(lon), repr(lat))
         gx, gy = con.execute(f"SELECT {sx}, {sy}").fetchone()
         assert isinstance(gx, float) and isinstance(gy, float), crs
-        ex, ey = transform_points("EPSG:4326", crs, [40.123456789012345], [-33.987654321098765])
-        assert abs(gx - ex[0]) < 1e-6 and abs(gy - ey[0]) < 1e-6, crs
+        ex, ey = transform_points("EPSG:4326", crs, [lon], [lat])
+        scale = max(abs(ex[0]), abs(ey[0]), 1.0)
+        assert abs(gx - ex[0]) < 1e-6 * scale and abs(gy - ey[0]) < 1e-6 * scale, crs
         ix, iy = transform_points_sql(crs, "EPSG:4326", repr(float(ex[0])), repr(float(ey[0])))
         glon, glat = con.execute(f"SELECT {ix}, {iy}").fetchone()
         assert isinstance(glon, float) and isinstance(glat, float), crs
-        assert abs(glon - 40.123456789012345) < 1e-8, crs
-        assert abs(glat + 33.987654321098765) < 1e-9, crs
+        assert abs(glon - lon) < 1e-7, crs
+        assert abs(glat - lat) < 1e-8, crs
 
 
 def test_composed_pairs_through_hub():
