@@ -103,6 +103,18 @@ _COVER_ARRAY_CACHE: dict = {}
 # build is O(P / cores) wall-clock with the identical per-polygon NumPy.
 COVER_DISTRIBUTED_THRESHOLD = 10_000
 
+# Default cover-cell budget for the res+3 refinement loop (r6, guide
+# §2.4/§3.1): every pip_join action pays a BroadcastExchange that is
+# SERIAL in cover rows (measured ~4 s/1.2M rows per action on this
+# host), while the ray-casting refine the finer cover avoids is a
+# parallel Arrow batch filter (~0.2 s for the same layer). The old 2M
+# cap optimized the wrong side of that trade at every scale we can
+# measure; 150k cells keeps the per-action broadcast ~0.3 s. Jobs whose
+# refine really dominates (hour-long scans over 10^10+ pages) should
+# raise the budget via env or pass cover_res explicitly — the cover is
+# a pure performance parameter, output is identical at any resolution.
+COVER_CELL_BUDGET = int(__import__("os").environ.get("RASTERIO_SPARK_COVER_CELLS", "150000"))
+
 
 def _polygon_cover_distributed(spark, polygons: list[dict], res: int, batch_rows: int = 512) -> DataFrame:
     """Cover build for large layers: the same per-polygon NumPy as
@@ -249,9 +261,16 @@ def _layer_index(spark, polygons: list[dict], cover_res: int | None, prepared=No
                 spark, polygons, cover_res
             ).withColumnRenamed("cell_id", "_cover_cell").localCheckpoint()
         else:
+            # localCheckpoint (eager) materializes the cover into executor
+            # blocks ONCE per layer: without it the cover stays a driver
+            # LocalTableScan and EVERY downstream action re-serializes all
+            # rows through the driver before its BroadcastExchange
+            # (measured: ~4 s/action at 1.2M rows, ~0.2 s checkpointed).
             cover_pdf = _polygon_cover(entries, cover_res, rings_by_id)
-            cover = spark.createDataFrame(cover_pdf).withColumnRenamed(
-                "cell_id", "_cover_cell"
+            cover = (
+                spark.createDataFrame(cover_pdf)
+                .withColumnRenamed("cell_id", "_cover_cell")
+                .localCheckpoint()
             )
         cover = F.broadcast(cover)
     val = (entries, rings_by_id, bcast, cover)
@@ -315,7 +334,8 @@ def pip_join(
     if strategy != "rtree" and cover_res is None:
         cover_res = res + 3
         # cap the cover size: total bbox area in cells at cover_res
-        while cover_res > res and _bbox_cells_at(cover_res) > 2_000_000:
+        # (budget rationale at COVER_CELL_BUDGET above)
+        while cover_res > res and _bbox_cells_at(cover_res) > COVER_CELL_BUDGET:
             cover_res -= 1
 
     entries, rings_by_id, bcast, cover = _layer_index(
