@@ -140,11 +140,48 @@ def dedup_paragraphs_sql(
 
 
 def _shingles_expr(text_col: str, n: int) -> str:
-    """Spark SQL: array of n-gram shingles over space tokens."""
+    """Spark SQL: array of n-gram shingles over space tokens.
+
+    NOTE (r6): lambda bodies re-evaluate their subexpressions per
+    element, so referencing ``split(text)`` inside the transform costs
+    one split per SHINGLE (~50x per doc measured). Prefer
+    :func:`_exploded_shingles`, which projects the token array once per
+    row; this string form is kept for SQL-twin construction and
+    callers that need a standalone expression."""
     return (
         f"transform(sequence(1, greatest(size(split({text_col}, ' ')) - {n - 1}, 1)), "
         f"i -> concat_ws(' ', slice(split({text_col}, ' '), i, {n})))"
     )
+
+
+def _spread_small_input(df: DataFrame) -> DataFrame:
+    """Round-robin repartition inputs with pathologically few
+    partitions (guide §2.5 'input skew': one unsplittable file). A
+    single-file corpus otherwise runs the whole shingle+hash map side
+    on ONE task regardless of cores. No-op for healthy inputs (at
+    scale, scans carry >= cores partitions); rows are tiny text docs,
+    so the rebalance shuffle is cheap when it does fire."""
+    par = df.sparkSession.sparkContext.defaultParallelism
+    if df.rdd.getNumPartitions() * 2 < par:
+        return df.repartition(par)
+    return df
+
+
+def _exploded_shingles(
+    docs: DataFrame, n: int, text_col: str, id_col: str
+) -> DataFrame:
+    """(doc_id, shingle) with the token array projected ONCE per row
+    (same shingle strings as ``_shingles_expr``, ~n_tokens times less
+    split() work) and degenerate input partitioning spread."""
+    docs = _spread_small_input(docs)
+    toks = docs.select(
+        F.col(id_col).alias("doc_id"), F.split(F.col(text_col), " ").alias("_toks")
+    )
+    idx = F.sequence(
+        F.lit(1), F.greatest(F.size("_toks") - F.lit(n - 1), F.lit(1))
+    )
+    arr = F.transform(idx, lambda i: F.concat_ws(" ", F.slice("_toks", i, n)))
+    return toks.select("doc_id", F.explode(arr).alias("shingle"))
 
 
 def _shingles_sql(text_col: str, n: int) -> str:
@@ -158,10 +195,7 @@ def _shingles_sql(text_col: str, n: int) -> str:
 
 def shingle_docs(docs: DataFrame, n: int = 3, text_col: str = "text", id_col: str = "doc_id") -> DataFrame:
     """(doc_id, shingle) distinct pairs."""
-    return (
-        docs.select(F.col(id_col).alias("doc_id"), F.explode(F.expr(_shingles_expr(text_col, n))).alias("shingle"))
-        .distinct()
-    )
+    return _exploded_shingles(docs, n, text_col, id_col).distinct()
 
 
 def cap_shingles(sh: DataFrame, max_df: int) -> DataFrame:
@@ -285,10 +319,7 @@ def minhash_signatures(
     duplicate-insensitive, so skipping the dedup drops a full shuffle
     from the signature stage — the partial min-agg combines map-side.
     """
-    sh = docs.select(
-        F.col(id_col).alias("doc_id"),
-        F.explode(F.expr(_shingles_expr(text_col, n))).alias("shingle"),
-    )
+    sh = _exploded_shingles(docs, n, text_col, id_col)
     hp = (F.expr(_shingle_hash_expr(hash_method)).cast("long") % MINHASH_P).alias("hp")
     sh = sh.select("doc_id", hp)
     aggs = [
@@ -299,20 +330,25 @@ def minhash_signatures(
 
 
 def lsh_buckets(sig: DataFrame, num_perm: int = len(MINHASH_COEFFS), bands: int = LSH_BANDS) -> DataFrame:
-    """(doc_id, bucket) — one bucket key per LSH band.
+    """(doc_id, bucket) — one 64-bit bucket key per LSH band
+    (xxhash64 over the band index + that band's signature rows).
 
     Single-branch plan: the band keys explode from one array instead of
     a bands-way union (which carried the signature aggregation once per
-    band unless exchange reuse saved it)."""
+    band unless exchange reuse saved it). Hashed numeric keys (r6)
+    replace the old '<band>_<s0>_..._<s7>' strings: the self-join
+    shuffles 8 bytes per row instead of ~60-char strings. Distinct band
+    contents colliding into one bucket is ~2^-64 per key pair — the
+    LSH candidate set is probabilistic by construction, and production
+    LSH implementations bucket on hashed band signatures for the same
+    reason."""
+    if num_perm % bands:
+        raise ValueError(f"num_perm {num_perm} must divide into {bands} bands")
     rows_per_band = num_perm // bands
     keys = [
-        F.concat_ws(
-            "_",
-            F.lit(str(band)),
-            *[
-                F.col(f"s{band * rows_per_band + r}").cast("string")
-                for r in range(rows_per_band)
-            ],
+        F.xxhash64(
+            F.lit(band),
+            *[F.col(f"s{band * rows_per_band + r}") for r in range(rows_per_band)],
         )
         for band in range(bands)
     ]
@@ -422,18 +458,25 @@ def lsh_verified_pairs(
     from rasterio_spark.plans.cache import scoped_persist
 
     cand = minhash_lsh_pairs(docs, n, text_col, id_col, max_bucket, hash_method)
-    # one row per doc: its distinct shingle set as a sorted array.
+    # one row per doc: its distinct shingle set packed as an array.
     # The old form joined candidates against the EXPLODED shingle table
     # twice (two wide shuffles of pair x shingle rows + a groupBy);
     # packing the set per doc makes the verify two doc-id equi-joins
     # plus a JVM array_intersect per pair — measured ~2x faster at
     # sf0.1 and strictly less shuffle volume at scale (the arrays move
     # once per pair side instead of once per shared shingle).
+    # r6: the sets hold xxhash64(shingle) longs, not shingle strings —
+    # the agg shuffles 8 bytes/shingle instead of ~20-char strings and
+    # array_intersect compares longs; |intersection| and the set sizes
+    # (and therefore Jaccard) are unchanged unless two distinct
+    # shingles of one candidate pair collide in 64 bits (~1e-16 per
+    # pair at 200 shingles/doc). collect_set dedups inside the agg, so
+    # the separate distinct() pass is gone too.
     # Persisted (scoped) because both join sides read it.
     sets = scoped_persist(
-        shingle_docs(docs, n, text_col, id_col)
+        _exploded_shingles(docs, n, text_col, id_col)
         .groupBy("doc_id")
-        .agg(F.array_sort(F.collect_set("shingle")).alias("_sh"))
+        .agg(F.collect_set(F.xxhash64("shingle")).alias("_sh"))
     )
     j = (
         cand.join(
@@ -632,7 +675,8 @@ def simhash(docs: DataFrame, text_col: str = "text", id_col: str = "doc_id") -> 
     sha2 hashes; bit j set iff sum over tokens of (bit_j ? +1 : -1) > 0
     (ties at 0 -> bit clear, deterministic)."""
     toks = (
-        docs.select(F.col(id_col).alias("doc_id"), F.explode(F.split(F.col(text_col), " ")).alias("tok"))
+        _spread_small_input(docs)
+        .select(F.col(id_col).alias("doc_id"), F.explode(F.split(F.col(text_col), " ")).alias("tok"))
         .distinct()
         .withColumn("h", F.expr("conv(substring(sha2(tok, 256), 1, 15), 16, 10)").cast("long"))
     )
