@@ -198,7 +198,18 @@ def from_dict(initialdata=None, **kwargs) -> str:
             nad = str(rest.pop("nadgrids", "@null"))
             if nad != "@null":
                 raise CRSError(f"grid-shift files unsupported: {d!r}")
-            k0 = float(rest.pop("k_0", rest.pop("k", 1.0) or 1.0))
+            # pop k and k_0 separately: the old nested-pop form always
+            # consumed +k, silently discarding it when both were
+            # present with different values (ADVICE r5)
+            k_plain = rest.pop("k", None)
+            k_named = rest.pop("k_0", None)
+            if (
+                k_plain is not None
+                and k_named is not None
+                and float(k_plain or 1.0) != float(k_named or 1.0)
+            ):
+                raise CRSError(f"conflicting +k and +k_0 values: {d!r}")
+            k0 = float((k_named if k_named is not None else k_plain) or 1.0)
             lat_ts = rest.pop("lat_ts", None)
             lat_ts = float(lat_ts) if lat_ts is not None else None
             r_sph = rest.pop("r", None)

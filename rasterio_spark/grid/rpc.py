@@ -157,7 +157,13 @@ class RPC:
     def from_gdal(cls, md: dict) -> "RPC":
         """Parse the GDAL metadata-domain dict (values may carry
         trailing non-numeric text; coefficient lists are
-        whitespace-separated, extra entries ignored past 20)."""
+        whitespace-separated, extra entries ignored past 20).
+
+        Only the known RPC00B fields are consumed; benign extra
+        RPC-domain keys some drivers emit (MIN_LAT, MAX_LONG, ...) are
+        ignored, matching reference rasterio/rpc.py from_gdal which
+        selects fields explicitly (ADVICE r5)."""
+        known_scalars = {f.upper() for f in _SCALAR_FIELDS}
         kwargs = {}
         for key, raw in md.items():
             if key in ("ERR_BIAS", "ERR_RAND"):
@@ -166,8 +172,9 @@ class RPC:
                 kwargs[key.lower()] = [
                     float(tok) for tok in str(raw).split(maxsplit=20)[:20]
                 ]
-            else:
+            elif key in known_scalars:
                 kwargs[key.lower()] = float(str(raw).split(maxsplit=1)[0])
+            # anything else (MIN_LAT/MAX_LONG/... driver extras): skip
         return cls(**kwargs)
 
     def __repr__(self):

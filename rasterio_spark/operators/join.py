@@ -827,7 +827,7 @@ def sample_points(
     )
 
 
-def asof_latest(pages: DataFrame, res: int = DEFAULT_RES) -> DataFrame:
+def asof_latest(pages: DataFrame, res: int | None = None) -> DataFrame:
     """Latest page per cell by (warc_ts, url) — deterministic as-of top-1
     over runs sorted by (cell_id, warc_ts).
 
@@ -835,8 +835,23 @@ def asof_latest(pages: DataFrame, res: int = DEFAULT_RES) -> DataFrame:
     sources/bucketed.py) use the stored column as-is: over a table
     bucketed by cell_id the window's required distribution is satisfied
     by the layout, so the whole query runs with ZERO Exchange — the
-    once-at-ingest-shuffle architecture (benched: asof_latest_bucketed)."""
-    tiled = pages if "cell_id" in pages.columns else tile_pages(pages, res=res)
+    once-at-ingest-shuffle architecture (benched: asof_latest_bucketed).
+
+    ``res`` defaults to a None sentinel (ADVICE r5): passing it
+    explicitly against a table that already carries ``cell_id`` is a
+    contradiction — the stored tiling wins silently otherwise — so that
+    combination raises instead of returning latest-per-stored-cell."""
+    if "cell_id" in pages.columns:
+        if res is not None:
+            raise ValueError(
+                "asof_latest: input already carries a cell_id column; an "
+                "explicit res cannot be applied to a pre-tiled table "
+                "(drop the res argument to use the stored tiling, or "
+                "re-tile from lon/lat upstream)"
+            )
+        tiled = pages
+    else:
+        tiled = tile_pages(pages, res=DEFAULT_RES if res is None else res)
     w = W.partitionBy("cell_id").orderBy(F.col("warc_ts").desc(), F.col("url").desc())
     return (
         tiled.withColumn("_rn", F.row_number().over(w))

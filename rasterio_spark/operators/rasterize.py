@@ -210,7 +210,19 @@ def rasterize(
         burned = burned.unionByName(p)
 
     if per_shape:
-        # cover relation: dedup multi-part double covers per input shape
+        # cover relation: dedup multi-part double covers per input shape.
+        # When every input shape exploded to a single part (the common
+        # case — no MultiPolygon/GeometryCollection), each (shape, row,
+        # col) is already unique, so the dedup aggregation (a full
+        # Exchange of the cover) is a no-op; skip it (r6, guide §2.4
+        # "a distinct on data that is already unique").
+        orig_counts: dict[int, int] = {}
+        for shape_idx, _, _ in flat:
+            orig_counts[shape_idx] = orig_counts.get(shape_idx, 0) + 1
+        if all(c == 1 for c in orig_counts.values()):
+            return burned.select(
+                F.col("orig_idx").alias("shape_id"), "row", "col", "value"
+            )
         return burned.groupBy(
             F.col("orig_idx").alias("shape_id"), "row", "col"
         ).agg(F.max("value").alias("value"))
