@@ -345,6 +345,12 @@ def pip_join(
     if strategy == "rtree":
         # broadcast STR R-tree over polygon bboxes; one mapInPandas pass
         # does candidate lookup + ray-cast refine — no cover join at all.
+        # Blob columns (html/text) never enter the Python stage (r6):
+        # a mapInPandas Arrow-transfers every projected column BOTH
+        # ways, so the probe ships join keys + metadata only — the same
+        # contract as strategy='probe' (rejoin by url when the payload
+        # is needed; at scale you never move blobs through a spatial
+        # join). Guide §4.1: pass only the columns the function needs.
         boxes = np.array([e[2] for e in entries], dtype="float64")
         ids = np.array([e[0] for e in entries], dtype=np.int64)
         values = {e[0]: e[1] for e in entries}
@@ -352,8 +358,9 @@ def pip_join(
 
         from pyspark.sql.types import DoubleType, LongType, StructField, StructType
 
+        slim = tiled.drop("html", "text")
         out_schema = StructType(
-            list(tiled.schema.fields)
+            list(slim.schema.fields)
             + [StructField("polygon_id", LongType()), StructField("poly_value", DoubleType())]
         )
 
@@ -377,7 +384,7 @@ def pip_join(
                 out["poly_value"] = pd.Series(pid).map(vals).astype("float64")
                 yield out
 
-        return tiled.mapInPandas(probe, schema=out_schema)
+        return slim.mapInPandas(probe, schema=out_schema)
 
     if strategy == "probe":
         # Cover-probe: the same filter-and-refine candidates as the
