@@ -137,3 +137,37 @@ def test_mask_cells_semi_and_anti(spark):
     assert filled.count() == 100
     invalid = filled.where("NOT valid")
     assert invalid.count() == 96
+
+
+def test_rasterize_per_shape_dedup_skip_equivalence(spark):
+    """r6 pin: per_shape skips the dedup aggregation only when every
+    shape is single-part; the skip path must equal the aggregated form,
+    and multi-part double covers must still come out deduplicated."""
+    from pyspark.sql import functions as F
+
+    # single-part list -> skip path fires; compare against the generic
+    # aggregated form computed from the same cover relation
+    singles = [(BASIC_GEOMETRY, 2.0), ({"type": "Polygon",
+        "coordinates": [[(5, 5), (5, 8.25), (8.25, 8.25), (8.25, 5), (5, 5)]]}, 3.0)]
+    skip = rasterize(spark, singles, SHAPE, per_shape=True)
+    agg = (
+        skip.groupBy("shape_id", "row", "col")
+        .agg(F.max("value").alias("value"))
+    )
+    got = {tuple(r) for r in skip.collect()}
+    want = {tuple(r) for r in agg.collect()}
+    assert got == want
+    assert len(got) == len({(r[0], r[1], r[2]) for r in got})  # unique keys
+
+    # multi-part shape whose parts OVERLAP -> double cover must dedup
+    mp = {
+        "type": "MultiPolygon",
+        "coordinates": [
+            [[(2, 2), (2, 4.25), (4.25, 4.25), (4.25, 2), (2, 2)]],
+            [[(3, 3), (3, 6.25), (6.25, 6.25), (6.25, 3), (3, 3)]],  # overlaps (3,3)
+        ],
+    }
+    cover = rasterize(spark, [(mp, 1.0)], SHAPE, per_shape=True).collect()
+    keys = [(r["shape_id"], r["row"], r["col"]) for r in cover]
+    assert len(keys) == len(set(keys))  # (3,3) burned by both parts, one row out
+    assert (0, 3, 3) in set(keys)
