@@ -64,3 +64,57 @@ def test_spread_small_input_invariant(spark, sf_dir):
     g_one = {tuple(r) for r in dedup_groups(one, threshold=0.2, max_bucket=50).collect()}
     g_many = {tuple(r) for r in dedup_groups(many, threshold=0.2, max_bucket=50).collect()}
     assert g_one == g_many
+
+
+# ------------------------------------------------- ADVICE r5 fix pins
+
+
+def test_asof_latest_res_sentinel(spark, pages):
+    """Explicit res against a pre-tiled (cell_id-carrying) table raises
+    instead of silently using the stored tiling (ADVICE r5, medium)."""
+    from rasterio_spark.operators.join import asof_latest
+    from rasterio_spark.operators.tile import tile_pages
+
+    tiled = tile_pages(pages, res=7)
+    assert asof_latest(tiled).count() > 0  # stored tiling, default res
+    with pytest.raises(ValueError, match="cell_id"):
+        asof_latest(tiled, res=5)
+    # untiled input + explicit res still tiles at that res
+    assert asof_latest(pages, res=5).count() > 0
+
+
+def test_rpc_from_gdal_ignores_driver_extras():
+    """Benign extra RPC-domain keys (MIN_LAT/MAX_LONG style) are
+    skipped, not forwarded as constructor kwargs (ADVICE r5, low)."""
+    from tests.test_rpc import GDAL_FORM
+    from rasterio_spark.grid.rpc import RPC
+
+    extra = dict(GDAL_FORM)
+    extra.update(
+        {"MIN_LAT": "48.9", "MAX_LAT": "49.5", "MIN_LONG": "-124.0",
+         "MAX_LONG": "-123.2", "DRIVER_NOTE": "not a number"}
+    )
+    assert RPC.from_gdal(extra).to_dict() == RPC.from_gdal(GDAL_FORM).to_dict()
+
+
+def test_crs_k_and_k0_conflict():
+    """+k and +k_0 both present: conflicting values raise CRSError;
+    equal values parse (ADVICE r5, low)."""
+    from rasterio_spark.grid.crs import CRSError, from_user_input
+
+    base = "+proj=tmerc +lat_0=49 +lon_0=-2 +x_0=400000 +y_0=-100000 +ellps=WGS84"
+    with pytest.raises(CRSError, match="conflicting"):
+        from_user_input(f"{base} +k=0.9996 +k_0=0.999601")
+    spec = from_user_input(f"{base} +k=0.999601 +k_0=0.999601")
+    assert spec.startswith("PROJ4:+proj=tmerc")
+
+
+def test_lsh_buckets_direct_divisibility_guard(spark, sf_dir):
+    """The divisibility ValueError lives in lsh_buckets itself, so
+    direct callers get it too (ADVICE r5, low)."""
+    from rasterio_spark.operators.dedup import lsh_buckets, minhash_signatures
+
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet").limit(10)
+    sig = minhash_signatures(docs, num_perm=20)
+    with pytest.raises(ValueError, match="must divide"):
+        lsh_buckets(sig, num_perm=20, bands=6)
