@@ -235,7 +235,14 @@ def ngram_jaccard_pairs(
     bound (shared hot shingles aren't counted) — the standard boiler-
     plate-robust estimate; the DuckDB twin applies the identical cap.
     """
-    sh = shingle_docs(docs, n, text_col, id_col)
+    from rasterio_spark.plans.cache import scoped_persist
+
+    # the distinct shingle table feeds FIVE consumers (per-doc sizes,
+    # the hot-shingle aggregation, the anti-join probe, and both sides
+    # of the self-join); unpersisted, each one re-runs the scan +
+    # explode + distinct (r6: 6 scans / 17 Exchanges in one plan).
+    # Persist it once — the same pattern lsh_verified_pairs uses.
+    sh = scoped_persist(shingle_docs(docs, n, text_col, id_col))
     sizes = sh.groupBy("doc_id").agg(F.count(F.lit(1)).alias("n_sh"))
     if max_df is not None:
         sh = cap_shingles(sh, max_df)
@@ -378,8 +385,16 @@ def minhash_lsh_pairs(
     pipelines route them to exact dedup instead."""
     if num_perm % bands:
         raise ValueError(f"num_perm {num_perm} must divide into {bands} bands")
+    from rasterio_spark.plans.cache import scoped_persist
+
     sig = minhash_signatures(docs, n, text_col, id_col, hash_method, num_perm=num_perm)
-    buckets = lsh_buckets(sig, num_perm=num_perm, bands=bands)
+    # the bucket table feeds the hot-bucket aggregation, the anti-join
+    # probe and BOTH self-join sides; unpersisted, each consumer re-runs
+    # the whole scan -> shingle -> num_perm-way min-agg pipeline (the
+    # static plan carries FOUR copies of it). Persisting (doc_id,
+    # bucket) — 16 bytes x bands per doc, far smaller than recomputing
+    # the signature agg — materializes it once per action.
+    buckets = scoped_persist(lsh_buckets(sig, num_perm=num_perm, bands=bands))
     if max_bucket is not None:
         hot = (
             buckets.groupBy("bucket")
