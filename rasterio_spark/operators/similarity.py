@@ -159,8 +159,17 @@ def kmeans_fit(
 
     Returns (assignments (vec_id, cluster), centroids (cluster, _cvec)).
     """
-    base = with_unit_norm(embeddings, vec_col).select(
-        F.col(id_col).alias("vec_id"), "_vec"
+    from rasterio_spark.plans.cache import scoped_persist
+
+    # every Lloyd's iteration reads the normalized table TWICE (the
+    # assign crossJoin and the centroid update join), so an iters-deep
+    # lineage re-runs the scan + normalization 2*iters times; persist
+    # it once — values and partitioning are unchanged, so the
+    # round(9)-pinned oracle arithmetic is identical.
+    base = scoped_persist(
+        with_unit_norm(embeddings, vec_col).select(
+            F.col(id_col).alias("vec_id"), "_vec"
+        )
     )
     # distributed take-ordered for the seeds, then rank the k survivors
     # with array_sort + posexplode (a partial-aggregated global agg over
