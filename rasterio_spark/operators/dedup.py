@@ -66,10 +66,17 @@ def dedup_paragraphs(
     is tiny (boilerplate tail) so the anti join broadcasts — the same
     guard shape as the shingle df-cap; everything else is linear.
     """
-    paras = docs.select(
-        F.col(id_col).alias("doc_id"),
-        F.posexplode(F.split(F.col(text_col), sep)).alias("pos", "para"),
-    ).withColumn("_h", F.xxhash64("para"))
+    from rasterio_spark.plans.cache import scoped_persist
+
+    # the exploded paragraph table feeds THREE consumers (the
+    # document-frequency agg, the anti-join, the per-doc stats);
+    # unpersisted, each re-runs the scan + split + posexplode.
+    paras = scoped_persist(
+        docs.select(
+            F.col(id_col).alias("doc_id"),
+            F.posexplode(F.split(F.col(text_col), sep)).alias("pos", "para"),
+        ).withColumn("_h", F.xxhash64("para"))
+    )
     hot = (
         paras.groupBy("_h")
         .agg(F.count_distinct("doc_id").alias("_df"))
